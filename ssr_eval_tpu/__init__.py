@@ -1,0 +1,45 @@
+"""ssr_eval_tpu — a TPU-native speech-super-resolution evaluation framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of ``haoheliu/ssr_eval``
+(reference: /root/reference). The public API mirrors the reference
+(`SSR_Eval_Helper`, `BasicTestee`, `test`; cf. reference ssr_eval/__init__.py:1-2)
+while the implementation is TPU-first:
+
+- All DSP (STFT/iSTFT, IIR zero-phase filtering, polyphase resampling,
+  spectrogram metrics) runs as jitted XLA / Pallas kernels, batched over
+  utterances and sharded over a `jax.sharding.Mesh`.
+- Host work is reduced to audio codec IO at the edges (C++-accelerated
+  wav/flac with a pure-NumPy fallback).
+- Aggregation is an XLA reduction instead of a Python loop.
+
+The reference's results-JSON schema and degradation key naming
+(`proc_fft_<2*cutoff>_<sr>` etc., reference eval.py:305,340,358,374,390,406,417)
+are preserved bit-compatibly.
+"""
+
+__version__ = "0.1.0"
+
+_LAZY = {
+    "SSR_Eval_Helper": ("ssr_eval_tpu.harness.helper", "SSR_Eval_Helper"),
+    "BasicTestee": ("ssr_eval_tpu.harness.testee", "BasicTestee"),
+    "BatchedTestee": ("ssr_eval_tpu.harness.testee", "BatchedTestee"),
+    "test": ("ssr_eval_tpu.harness.smoke", "test"),
+}
+
+
+def __getattr__(name):
+    # Lazy exports keep `import ssr_eval_tpu.dsp` cheap (no harness deps).
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'ssr_eval_tpu' has no attribute {name!r}")
+
+__all__ = [
+    "SSR_Eval_Helper",
+    "BasicTestee",
+    "BatchedTestee",
+    "test",
+    "__version__",
+]

@@ -1,0 +1,192 @@
+"""Zero-phase IIR filtering (scipy `sosfiltfilt` semantics) as TPU kernels.
+
+The reference degrades audio with scipy's ``sosfiltfilt`` over
+butter/cheby1/cheby2/ellip/bessel SOS designs (reference lowpass.py:94-131).
+A literal port would be a sequential per-sample recurrence — the worst
+possible TPU program.  Instead we use the LTI identity:
+
+    sosfilt(sos, ext, zi=zi*ext[0]) == conv(ext, h) + ext[0] * r
+
+where ``h`` is the cascade's impulse response (zero-state response) and
+``r`` is its zero-input response from unit-scaled initial conditions
+``zi`` — both precomputed host-side in float64 at *design* time (filter
+design is tiny and happens once per sweep setting; SURVEY §2.3).  On
+device, each forward/backward pass is then a single FFT convolution:
+O(N log N) fully-parallel VPU work with no sequential dependence, instead
+of O(N * n_sections) serial steps.
+
+scipy semantics replicated exactly (sosfiltfilt source):
+  - odd edge extension of length ``edge = 3 * (2*n_sections + 1)``
+  - forward pass with initial state ``sosfilt_zi(sos) * ext[0]``
+  - reversed pass with initial state ``zi * y_fwd[-1]``
+  - trim ``edge`` from both sides.
+
+Variable utterance lengths are handled with traced-index gathers into
+static buffers so one compiled kernel serves a whole bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+from scipy import signal as _sps
+
+import jax.numpy as jnp
+
+
+class FiltFiltPlan(NamedTuple):
+    """Host-designed, device-applied zero-phase filter plan (hashable-free:
+    pass arrays as jit array args, ints as statics)."""
+
+    edge: int            # odd-extension length per side
+    h: np.ndarray        # [n_ext_max] cascade impulse response (f32)
+    r: np.ndarray        # [n_ext_max] zero-input response of unit zi (f32)
+    fft_size: int        # convolution FFT size (power of 2)
+
+
+def design_lowpass_sos(ftype: str, order: int, highcut: float, fs: float) -> np.ndarray:
+    """SOS lowpass design, matching reference lowpass.py:112-123 parameters
+    (cheby1 rp=0.1 dB, cheby2 rs=60 dB, ellip rp=0.1/rs=60)."""
+    nyq = 0.5 * fs
+    hi = highcut / nyq
+    if ftype == "butter":
+        return _sps.butter(order, hi, btype="low", output="sos")
+    if ftype == "cheby1":
+        return _sps.cheby1(order, 0.1, hi, btype="low", output="sos")
+    if ftype == "cheby2":
+        return _sps.cheby2(order, 60, hi, btype="low", output="sos")
+    if ftype == "ellip":
+        return _sps.ellip(order, 0.1, 60, hi, btype="low", output="sos")
+    if ftype == "bessel":
+        return _sps.bessel(order, hi, btype="low", output="sos")
+    raise ValueError(f"The lowpass filter {ftype} is not supported!")
+
+
+def design_bandpass_sos(ftype: str, order: int, lowcut: float, highcut: float, fs: float) -> np.ndarray:
+    """SOS bandpass design (reference lowpass.py:72-84 parameters)."""
+    nyq = 0.5 * fs
+    band = [lowcut / nyq, highcut / nyq]
+    if ftype == "butter":
+        return _sps.butter(order, band, btype="band", output="sos")
+    if ftype == "cheby1":
+        return _sps.cheby1(order, 0.1, band, btype="band", output="sos")
+    if ftype == "cheby2":
+        return _sps.cheby2(order, 60, band, btype="band", output="sos")
+    if ftype == "ellip":
+        return _sps.ellip(order, 0.1, 60, band, btype="band", output="sos")
+    if ftype == "bessel":
+        return _sps.bessel(order, band, btype="band", output="sos")
+    raise ValueError(f"The bandpass filter {ftype} is not supported!")
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+@functools.lru_cache(maxsize=64)
+def _plan_cache(sos_bytes: bytes, n_sections: int, max_len: int) -> FiltFiltPlan:
+    sos = np.frombuffer(sos_bytes, dtype=np.float64).reshape(n_sections, 6).copy()
+    ntaps = 2 * n_sections + 1
+    ntaps -= min(int((sos[:, 2] == 0).sum()), int((sos[:, 5] == 0).sum()))
+    edge = ntaps * 3
+    n_ext = max_len + 2 * edge
+    # Impulse response (zero-state) and unit-zi zero-input response, f64.
+    impulse = np.zeros(n_ext)
+    impulse[0] = 1.0
+    h = _sps.sosfilt(sos, impulse)
+    zi = _sps.sosfilt_zi(sos)
+    r, _ = _sps.sosfilt(sos, np.zeros(n_ext), zi=zi)
+    fft_size = _next_pow2(2 * n_ext)
+    return FiltFiltPlan(
+        edge=edge,
+        h=h.astype(np.float32),
+        r=r.astype(np.float32),
+        fft_size=fft_size,
+    )
+
+
+def make_filtfilt_plan(sos: np.ndarray, max_len: int) -> FiltFiltPlan:
+    """Build (and cache) the device plan for a given SOS and bucket length."""
+    sos = np.ascontiguousarray(sos, dtype=np.float64)
+    return _plan_cache(sos.tobytes(), sos.shape[0], max_len)
+
+
+def _odd_extend(x: jnp.ndarray, length, edge: int) -> jnp.ndarray:
+    """scipy's odd_ext for a traced true length inside a static buffer.
+
+    ext = [2*x[0] - x[edge..1], x[0..L), 2*x[L-1] - x[L-2..L-edge-1], 0...]
+    Returns [Lmax + 2*edge]; zero beyond L + 2*edge.
+    """
+    Lmax = x.shape[0]
+    v = jnp.arange(Lmax + 2 * edge, dtype=jnp.int32)
+    i = v - edge  # virtual signal index in [-edge, Lmax + edge)
+    left_idx = jnp.clip(-i, 0, Lmax - 1)
+    mid_idx = jnp.clip(i, 0, Lmax - 1)
+    right_idx = jnp.clip(2 * (length - 1) - i, 0, Lmax - 1)
+    x0 = x[0]
+    xl = x[jnp.clip(length - 1, 0, Lmax - 1)]
+    val = jnp.where(
+        i < 0,
+        2.0 * x0 - x[left_idx],
+        jnp.where(
+            i < length,
+            x[mid_idx],
+            jnp.where(i < length + edge, 2.0 * xl - x[right_idx], 0.0),
+        ),
+    )
+    return val
+
+
+def _fft_lfilter(ext: jnp.ndarray, x0, H: jnp.ndarray, r: jnp.ndarray, fft_size: int) -> jnp.ndarray:
+    """One causal IIR pass: zero-state FFT convolution + scaled zi response.
+
+    ext: [n_ext_buf] input (zero beyond its valid prefix);
+    H:   rfft of the impulse response (precomputed, [fft_size//2+1] complex);
+    r:   [n_ext_buf] unit-zi zero-input response; x0 scales it.
+    """
+    n = ext.shape[0]
+    X = jnp.fft.rfft(ext, n=fft_size)
+    y = jnp.fft.irfft(X * H, n=fft_size)[:n]
+    return y + x0 * r
+
+
+def sosfiltfilt(x: jnp.ndarray, length, plan: FiltFiltPlan, H: jnp.ndarray, r: jnp.ndarray):
+    """Zero-phase filter one buffered signal; returns [Lmax] (zero beyond L).
+
+    x: [Lmax] buffer, true length `length` (traced ok).
+    H, r: device arrays from `plan_device_arrays` (kept as explicit args so
+    they are donatable/shardable rather than baked-in constants).
+    """
+    Lmax = x.shape[0]
+    edge = plan.edge
+    n_ext_buf = Lmax + 2 * edge
+    n_ext = length + 2 * edge
+
+    ext = _odd_extend(x, length, edge)
+    y_f = _fft_lfilter(ext, ext[0], H, r, plan.fft_size)
+    # Mask the forward output beyond its valid prefix before reversing.
+    valid = jnp.arange(n_ext_buf) < n_ext
+    y_f = jnp.where(valid, y_f, 0.0)
+
+    # Reverse the valid prefix within the static buffer.
+    rev_idx = jnp.clip(n_ext - 1 - jnp.arange(n_ext_buf), 0, n_ext_buf - 1)
+    z = jnp.where(valid, y_f[rev_idx], 0.0)
+    y_b = _fft_lfilter(z, z[0], H, r, plan.fft_size)
+    y_b = jnp.where(valid, y_b, 0.0)
+
+    # Undo the reversal and trim `edge` from both sides:
+    # result[k] = y_b[n_ext - 1 - (edge + k)] for k in [0, L).
+    k = jnp.arange(Lmax)
+    out_idx = jnp.clip(n_ext - 1 - edge - k, 0, n_ext_buf - 1)
+    out = jnp.where(k < length, y_b[out_idx], 0.0)
+    return out
+
+
+def plan_device_arrays(plan: FiltFiltPlan):
+    """Device-side constants for a plan: (H = rfft(h), r)."""
+    h = np.zeros(plan.fft_size, dtype=np.float32)
+    h[: plan.h.shape[0]] = plan.h
+    H = np.fft.rfft(h)
+    return jnp.asarray(H.astype(np.complex64)), jnp.asarray(plan.r)

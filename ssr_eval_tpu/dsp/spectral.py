@@ -1,0 +1,250 @@
+"""STFT / iSTFT kernels with librosa & torchlibrosa semantics, TPU-first.
+
+The reference computes STFTs three different ways (librosa in metrics
+(metrics.py:27) and BasicTestee (eval.py:29,37-40); torchlibrosa conv1d inside
+FDomainHelper (dsp.py:21-39)); all share the same math: periodic Hann window,
+``center=True`` reflect padding, ``win_length == n_fft``.  Here there is ONE
+implementation, designed for XLA:
+
+- **Static shapes**: signals live in fixed-size buckets ``[B, Lmax]`` with a
+  per-utterance true length ``L``.  Reflect padding for arbitrary traced ``L``
+  is a vectorized index computation (no data-dependent control flow), so a
+  single compiled kernel serves every utterance length in a bucket —
+  replacing the reference's per-file Python loop.
+- **MXU-friendly transform**: for non-power-of-2 FFT sizes (the reference's
+  metric STFT uses n_fft=2229 at 48 kHz, metrics.py:19) the DFT is a dense
+  f32 matmul against precomputed DFT matrices — systolic-array work instead
+  of a slow generic FFT.  Power-of-2 sizes use ``jnp.fft.rfft``.
+- **Batch-first**: everything vmaps over the utterance axis; the harness
+  shards that axis over the device mesh.
+
+iSTFT uses overlap-add with the window-sum-square normalization (librosa
+semantics, which torchlibrosa's ISTFT follows), implemented as K static
+shifted adds rather than a scatter.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class StftConfig(NamedTuple):
+    """Hashable STFT configuration (static jit argument).
+
+    Mirrors the two configurations used by the reference:
+    - degradation STFT: n_fft=2048, hop=441  (reference dsp.py:7-10)
+    - metric STFT: hop=int(rate/100), n_fft=int(2048/(44100/rate))
+      (reference metrics.py:17-19)
+    - librosa defaults (BasicTestee.postprocessing): n_fft=2048, hop=512
+    """
+
+    n_fft: int
+    hop: int
+    win_length: Optional[int] = None  # None -> n_fft
+    center: bool = True
+    pad_mode: str = "reflect"
+
+    @property
+    def win(self) -> int:
+        return self.win_length if self.win_length is not None else self.n_fft
+
+    @property
+    def pad(self) -> int:
+        return self.n_fft // 2 if self.center else 0
+
+    @property
+    def n_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+    def max_frames(self, max_len: int) -> int:
+        """Frame count for the longest signal in a bucket (static)."""
+        return max(1, 1 + (max_len + 2 * self.pad - self.n_fft) // self.hop)
+
+
+def n_frames_for_length(cfg: StftConfig, length) -> jnp.ndarray:
+    """Number of valid STFT frames for a (possibly traced) signal length."""
+    return jnp.maximum(1, 1 + (length + 2 * cfg.pad - cfg.n_fft) // cfg.hop)
+
+
+@functools.lru_cache(maxsize=32)
+def hann_window(win_length: int) -> np.ndarray:
+    """Periodic ('fftbins') Hann window, float64 host-side; cast at use site."""
+    n = np.arange(win_length, dtype=np.float64)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag rDFT matrices [n_fft, n_bins], float32, built in f64."""
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _use_matmul_dft(n_fft: int) -> bool:
+    """Non-power-of-2 FFTs go through the MXU as dense DFT matmuls."""
+    return (n_fft & (n_fft - 1)) != 0
+
+
+def _reflect_index(v, length):
+    """Reflect (no edge repeat) virtual index `v` into [0, length).
+
+    Matches np.pad(mode='reflect'): period 2*(L-1); indices may be any
+    integer.  Fully vectorized; `length` may be traced.
+    """
+    period = jnp.maximum(2 * (length - 1), 1)
+    m = jnp.mod(v, period)
+    return jnp.minimum(m, period - m)
+
+
+def _extend(x: jnp.ndarray, length, pad: int) -> jnp.ndarray:
+    """Reflect-extended signal buffer: ext[v] = x[reflect(v - pad, L)].
+
+    x: [Lmax] zero-padded buffer holding a signal of true length `length`.
+    Returns [Lmax + 2*pad].  Positions beyond L + 2*pad hold values gathered
+    from within the signal (harmless; masked downstream).
+    """
+    v = jnp.arange(x.shape[0] + 2 * pad, dtype=jnp.int32) - pad
+    idx = _reflect_index(v, length)
+    return x[idx]
+
+
+def _frames(x: jnp.ndarray, length, cfg: StftConfig, max_frames: int) -> jnp.ndarray:
+    """Windowed frames [max_frames, n_fft] of one signal.
+
+    Framing is a static gather into the (dynamically) reflect-extended
+    buffer, so the compiled kernel is shared by every utterance length.
+    """
+    if cfg.center:
+        ext = _extend(x, length, cfg.pad)
+    else:
+        ext = x
+    starts = np.arange(max_frames, dtype=np.int32)[:, None] * cfg.hop
+    offs = np.arange(cfg.n_fft, dtype=np.int32)[None, :]
+    fr = ext[jnp.asarray(starts + offs)]
+    win = hann_window(cfg.win).astype(np.float32)
+    if cfg.win < cfg.n_fft:
+        # Center-pad the window to n_fft (librosa util.pad_center semantics).
+        lpad = (cfg.n_fft - cfg.win) // 2
+        win = np.pad(win, (lpad, cfg.n_fft - cfg.win - lpad))
+    return fr * jnp.asarray(win)
+
+
+def stft_real_imag(
+    x: jnp.ndarray, length, cfg: StftConfig, max_frames: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """STFT of a single buffered signal -> (real, imag), each [max_frames, n_bins].
+
+    Frames at index >= n_frames_for_length(cfg, length) are garbage and must
+    be masked by the caller (the metric/degradation layers carry frame masks).
+    """
+    fr = _frames(x, length, cfg, max_frames)
+    if _use_matmul_dft(cfg.n_fft):
+        wr, wi = _dft_matrices(cfg.n_fft)
+        real = jnp.dot(fr, jnp.asarray(wr), preferred_element_type=jnp.float32)
+        imag = jnp.dot(fr, jnp.asarray(wi), preferred_element_type=jnp.float32)
+    else:
+        z = jnp.fft.rfft(fr, n=cfg.n_fft, axis=-1)
+        real, imag = jnp.real(z), jnp.imag(z)
+    return real, imag
+
+
+def stft_magnitude(
+    x: jnp.ndarray, length, cfg: StftConfig, max_frames: int, eps: float = 0.0
+) -> jnp.ndarray:
+    """|STFT| [max_frames, n_bins]; eps matches FDomainHelper.spectrogram's
+    clamp (reference dsp.py:72-74) when nonzero."""
+    real, imag = stft_real_imag(x, length, cfg, max_frames)
+    power = real * real + imag * imag
+    if eps:
+        power = jnp.maximum(power, eps)
+    return jnp.sqrt(power)
+
+
+@functools.lru_cache(maxsize=32)
+def _window_sumsquare(cfg: StftConfig, max_frames: int) -> np.ndarray:
+    """Sum of squared, hop-shifted windows (host-precomputed, static)."""
+    win = hann_window(cfg.win)
+    if cfg.win < cfg.n_fft:
+        lpad = (cfg.n_fft - cfg.win) // 2
+        win = np.pad(win, (lpad, cfg.n_fft - cfg.win - lpad))
+    total = cfg.hop * (max_frames - 1) + cfg.n_fft
+    wss = np.zeros(total, dtype=np.float64)
+    w2 = win * win
+    for f in range(max_frames):
+        wss[f * cfg.hop : f * cfg.hop + cfg.n_fft] += w2
+    return wss.astype(np.float32)
+
+
+def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """OLA of [F, n_fft] frames at stride `hop` -> [hop*(F-1) + n_fft].
+
+    Implemented as K = ceil(n_fft/hop) static shifted adds (no scatter):
+    frames are split into K hop-sized columns; column k of all frames lands
+    contiguously at offset k*hop.
+    """
+    F, n_fft = frames.shape
+    K = -(-n_fft // hop)
+    padded = jnp.pad(frames, ((0, 0), (0, K * hop - n_fft)))
+    cols = padded.reshape(F, K, hop)
+    total = hop * (F - 1) + n_fft
+    out = jnp.zeros(hop * (F - 1) + K * hop, dtype=frames.dtype)
+    for k in range(K):
+        seg = cols[:, k, :].reshape(F * hop)
+        out = out.at[k * hop : k * hop + F * hop].add(seg)
+    return out[:total]
+
+
+def istft(
+    real: jnp.ndarray,
+    imag: jnp.ndarray,
+    length,
+    cfg: StftConfig,
+    out_len: int,
+) -> jnp.ndarray:
+    """Inverse STFT -> [out_len] buffer; samples beyond `length` are zeroed.
+
+    Matches librosa.istft / torchlibrosa ISTFT: inverse transform each
+    frame, window, overlap-add, divide by window-sum-square, trim `pad`
+    and cut to `length`.
+
+    real/imag: [max_frames, n_bins].  Caller must zero invalid frames
+    (beyond n_frames_for_length) — they would otherwise bleed into the
+    tail of valid audio. `out_len` is the static bucket length (Lmax).
+    """
+    max_frames = real.shape[0]
+    if _use_matmul_dft(cfg.n_fft):
+        wr, wi = _dft_matrices(cfg.n_fft)
+        # Inverse rDFT via hermitian symmetry. Forward used ang = -2*pi*n*k/N,
+        # so wr = cos(theta), wi = -sin(theta); x[n] = (1/N) * sum_k s_k *
+        # (Re X_k cos(theta) - Im X_k sin(theta)) = (re*s) @ wr.T + (im*s) @ wi.T.
+        scale = np.ones(cfg.n_bins, dtype=np.float32) * 2.0
+        scale[0] = 1.0
+        if cfg.n_fft % 2 == 0:
+            scale[-1] = 1.0
+        fr = (
+            jnp.dot(real * jnp.asarray(scale), jnp.asarray(wr.T), preferred_element_type=jnp.float32)
+            + jnp.dot(imag * jnp.asarray(scale), jnp.asarray(wi.T), preferred_element_type=jnp.float32)
+        ) / cfg.n_fft
+    else:
+        fr = jnp.fft.irfft(real + 1j * imag, n=cfg.n_fft, axis=-1)
+    win = hann_window(cfg.win)
+    if cfg.win < cfg.n_fft:
+        lpad = (cfg.n_fft - cfg.win) // 2
+        win = np.pad(win, (lpad, cfg.n_fft - cfg.win - lpad))
+    fr = fr * jnp.asarray(win.astype(np.float32))
+    ola = _overlap_add(fr, cfg.hop)
+    wss = jnp.asarray(_window_sumsquare(cfg, max_frames))
+    ola = jnp.where(wss > 1e-10, ola / jnp.where(wss > 1e-10, wss, 1.0), ola)
+    y = ola[cfg.pad : cfg.pad + out_len]
+    if y.shape[0] < out_len:
+        y = jnp.pad(y, (0, out_len - y.shape[0]))
+    mask = jnp.arange(out_len) < length
+    return jnp.where(mask, y, 0.0)

@@ -1,0 +1,92 @@
+"""STFT/iSTFT kernels vs. the NumPy oracle (librosa semantics)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ssr_eval_tpu.dsp.spectral import (
+    StftConfig,
+    istft,
+    n_frames_for_length,
+    stft_magnitude,
+    stft_real_imag,
+)
+from tests.oracles import istft_np, stft_np
+
+
+def _sig(n, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 44100.0
+    x = (
+        0.5 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 3150 * t + 0.3)
+        + 0.05 * rng.standard_normal(n)
+    )
+    return x.astype(np.float32)
+
+
+CFGS = [
+    StftConfig(n_fft=2048, hop=441),   # FDomainHelper degradation STFT (dsp.py:7-10)
+    StftConfig(n_fft=2048, hop=512),   # librosa defaults (BasicTestee)
+    StftConfig(n_fft=2229, hop=480),   # metric STFT at 48 kHz (metrics.py:17-19)
+    StftConfig(n_fft=743, hop=160),    # metric STFT at 16 kHz
+]
+
+
+@pytest.mark.parametrize("cfg", CFGS)
+@pytest.mark.parametrize("L", [9000, 12345])
+def test_stft_matches_oracle(cfg, L):
+    x = _sig(L)
+    Z = stft_np(x.astype(np.float64), cfg.n_fft, cfg.hop)
+    mf = cfg.max_frames(L)
+    real, imag = stft_real_imag(jnp.asarray(x), L, cfg, mf)
+    nf = int(n_frames_for_length(cfg, L))
+    assert nf == Z.shape[1]
+    got = np.asarray(real[:nf]) + 1j * np.asarray(imag[:nf])
+    ref = Z.T
+    scale = np.abs(ref).max()
+    # f32 budget: rfft path ~1e-6 rel; dense f32 DFT matmul (non-pow2 n_fft)
+    # accumulates to ~3e-4 rel of the spectral peak.
+    assert np.abs(got - ref).max() / scale < 5e-4
+
+
+@pytest.mark.parametrize("cfg", CFGS)
+def test_stft_bucketed_length_invariance(cfg):
+    """Same signal in a longer zero-padded bucket -> identical valid frames."""
+    L = 10000
+    x = _sig(L)
+    mf_b = cfg.max_frames(16384)
+    xb = np.zeros(16384, dtype=np.float32)
+    xb[:L] = x
+    rb, ib = stft_real_imag(jnp.asarray(xb), L, cfg, mf_b)
+    r, i = stft_real_imag(jnp.asarray(x), L, cfg, cfg.max_frames(L))
+    nf = int(n_frames_for_length(cfg, L))
+    np.testing.assert_allclose(np.asarray(rb[:nf]), np.asarray(r[:nf]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ib[:nf]), np.asarray(i[:nf]), atol=1e-5)
+
+
+@pytest.mark.parametrize("cfg", CFGS[:3])
+def test_istft_roundtrip(cfg):
+    L = 11025
+    x = _sig(L)
+    mf = cfg.max_frames(L)
+    real, imag = stft_real_imag(jnp.asarray(x), L, cfg, mf)
+    nf = int(n_frames_for_length(cfg, L))
+    fmask = (np.arange(mf) < nf)[:, None]
+    y = istft(real * fmask, imag * fmask, L, cfg, L)
+    # Oracle roundtrip for cross-check
+    y_ref = istft_np(stft_np(x.astype(np.float64), cfg.n_fft, cfg.hop), cfg.n_fft, cfg.hop, length=L)
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=5e-5)
+    # Roundtrip ~ identity in the interior
+    np.testing.assert_allclose(np.asarray(y)[cfg.n_fft:-cfg.n_fft], x[cfg.n_fft:-cfg.n_fft], atol=5e-4)
+
+
+def test_magnitude():
+    cfg = CFGS[0]
+    L = 9000
+    x = _sig(L)
+    mag = stft_magnitude(jnp.asarray(x), L, cfg, cfg.max_frames(L))
+    ref = np.abs(stft_np(x.astype(np.float64), cfg.n_fft, cfg.hop)).T
+    nf = ref.shape[0]
+    np.testing.assert_allclose(np.asarray(mag[:nf]), ref, atol=2e-4)
