@@ -1,0 +1,112 @@
+"""Reference-compatible `AudioMetrics` facade over the JAX metric kernels.
+
+API parity with reference ssr_eval/metrics.py:15-132:
+    AudioMetrics(rate).evaluation(est, target, file) ->
+        {"lsd": float, "log_sispec": float, "sispec": float, "ssim": float}
+
+accepting either two 1-D numpy arrays or two file paths (decoded at the
+evaluation rate, mono).  Inputs are validated with the reference's
+invariants (|len diff| < 100, 1-D shapes — metrics.py:82-87,71-75).
+
+Under the hood each pair is padded into a power-of-two-ish length bucket
+and fed to one jitted, bucket-shared kernel, so repeated calls at similar
+lengths hit the compile cache.  Batch work should use
+`ssr_eval_tpu.metrics.kernels.batched_spectral_metrics` directly (the
+harness does).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ssr_eval_tpu.metrics.kernels import metric_stft_config, spectral_metrics
+
+
+def _bucket_len(n: int) -> int:
+    """Next power-of-two-ish bucket (1, 1.25, 1.5, 1.75 x 2^k) >= n."""
+    if n <= 4096:
+        return 4096
+    k = (n - 1).bit_length()
+    base = 1 << (k - 1)
+    for mult in (1.25, 1.5, 1.75, 2.0):
+        b = int(base * mult)
+        if b >= n:
+            return b
+    return 1 << k
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_kernel(rate: int, lmax: int):
+    cfg = metric_stft_config(rate)
+    mf = cfg.max_frames(lmax)
+
+    @jax.jit
+    def run(est, est_len, tgt, tgt_len):
+        return spectral_metrics(est, est_len, tgt, tgt_len, cfg, mf)
+
+    return run
+
+
+class AudioMetrics:
+    def __init__(self, rate):
+        self.rate = int(rate)
+        # Kept as public attributes for reference parity (metrics.py:17-19).
+        self.hop_length = int(rate / 100)
+        self.n_fft = int(2048 / (44100 / rate))
+
+    def read(self, est, target):
+        from ssr_eval_tpu.io.audio import load
+
+        est_wav, _ = load(est, sr=self.rate, mono=True)
+        target_wav, _ = load(target, sr=self.rate, mono=True)
+        return est_wav, target_wav
+
+    def wav_to_spectrogram(self, wav):
+        """[1, 1, T, F] magnitude spectrogram (layout parity, metrics.py:26-30)."""
+        from ssr_eval_tpu.dsp.spectral import StftConfig, stft_magnitude
+
+        wav = np.asarray(wav, dtype=np.float32)
+        cfg = metric_stft_config(self.rate)
+        mf = cfg.max_frames(len(wav))
+        sp = stft_magnitude(jnp.asarray(wav), len(wav), cfg, mf)
+        return np.asarray(sp)[None, None, ...]
+
+    def evaluation(self, est, target, file=None):
+        if type(est) != type(target) and not (
+            isinstance(est, np.ndarray) and isinstance(target, np.ndarray)
+        ):
+            raise ValueError(
+                "The input value should either both be numpy array or strings"
+            )
+        if isinstance(est, str):
+            est_wav, target_wav = self.read(est, target)
+        else:
+            assert est.ndim == 1 and target.ndim == 1, (
+                "The input numpy array shape should be [samples,]. "
+                f"Got input shape {est.shape} and {target.shape}. "
+            )
+            est_wav, target_wav = est, target
+
+        assert abs(target_wav.shape[0] - est_wav.shape[0]) < 100, (
+            "Error: Shape mismatch between target and estimation "
+            f"{target_wav.shape} and {est_wav.shape}"
+        )
+
+        lmax = _bucket_len(max(est_wav.shape[0], target_wav.shape[0]))
+        eb = np.zeros(lmax, dtype=np.float32)
+        tb = np.zeros(lmax, dtype=np.float32)
+        eb[: est_wav.shape[0]] = est_wav
+        tb[: target_wav.shape[0]] = target_wav
+
+        run = _compiled_kernel(self.rate, lmax)
+        out = run(
+            jnp.asarray(eb),
+            jnp.int32(est_wav.shape[0]),
+            jnp.asarray(tb),
+            jnp.int32(target_wav.shape[0]),
+        )
+        return {k: float(out[k]) for k in ("lsd", "log_sispec", "sispec", "ssim")}
