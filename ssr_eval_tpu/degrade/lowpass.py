@@ -1,0 +1,146 @@
+"""User-facing degradation functions with reference-`lowpass.py` API parity.
+
+`lowpass(data, highcut, fs, order, _type)` and `bandpass(...)` accept 1-D
+numpy arrays and dispatch with the reference's substring semantics
+(`_type in "butter"` — lowpass.py:175-194), clamp order to [2, 10], and
+return numpy.  They are conveniences over the bucketed device kernels; the
+harness engine uses those kernels directly in batched form.
+
+The reference's latent no-op at lowpass.py:130 (a `subsampling()` call
+whose result is discarded) is intentionally FIXED by omission — documented
+in PARITY.md.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ssr_eval_tpu.degrade.plan import DegradationSpec
+from ssr_eval_tpu.degrade.apply import build_degrader
+from ssr_eval_tpu.dsp.filters import (
+    design_bandpass_sos,
+    make_filtfilt_plan,
+    plan_device_arrays,
+    sosfiltfilt,
+)
+
+
+def limit(integer, high, low):
+    """Order clamp (reference lowpass.py:147-153)."""
+    if integer > high:
+        return high
+    if integer < low:
+        return low
+    return int(integer)
+
+
+def align_length(x, y):
+    """Pad/crop `y` to the length of `x` (reference lowpass.py:31-51)."""
+    Lx, Ly = len(x), len(y)
+    if Lx == Ly:
+        return y
+    if Lx > Ly:
+        return np.pad(y, (0, Lx - Ly), mode="constant")
+    return y[:Lx]
+
+
+def _bucket(n: int) -> int:
+    return max(4096, 1 << (n - 1).bit_length())
+
+
+@functools.lru_cache(maxsize=128)
+def _jitted(spec: DegradationSpec, lmax: int):
+    fn = build_degrader(spec, lmax)
+    return jax.jit(fn)
+
+
+def _run_device(spec: DegradationSpec, data: np.ndarray) -> np.ndarray:
+    L = data.shape[0]
+    lmax = _bucket(L)
+    buf = np.zeros(lmax, dtype=np.float32)
+    buf[:L] = data
+    y = _jitted(spec, lmax)(jnp.asarray(buf), jnp.int32(L))
+    return np.asarray(y)[:L]
+
+
+def _check_1d(data):
+    if data.ndim != 1:
+        raise ValueError(
+            "Error (chebyshev_lowpass_filter): Data "
+            + str(data.shape)
+            + " should be type 1d time array, (samples,) , can not be (samples, 1)"
+        )
+
+
+def lowpass(data, highcut, fs, order=5, _type="butter"):
+    """Reference-compatible lowpass entry (lowpass.py:156-196)."""
+    data = np.asarray(data, dtype=np.float32)
+    _check_1d(data)
+    order = limit(order, high=10, low=2)
+
+    def spec(family, ftype=None):
+        return DegradationSpec(
+            key="_direct",
+            family=family,
+            ftype=ftype,
+            cutoff=int(highcut) * 2,
+            order=order,
+            sr=fs,
+        )
+
+    # Branch set and order exactly as reference lowpass.py:175-194 (no
+    # cheby2 branch there either — it is reachable only via bandpass/design).
+    if _type in "butter":
+        return _run_device(spec("iir", "butter"), data)
+    elif _type in "cheby1":
+        return _run_device(spec("iir", "cheby1"), data)
+    elif _type in "ellip":
+        return _run_device(spec("iir", "ellip"), data)
+    elif _type in "bessel":
+        return _run_device(spec("iir", "bessel"), data)
+    elif _type in "subsampling":
+        return _run_device(spec("subsampling"), data)
+    elif _type in "stft_hard":
+        return _run_device(spec("fft"), data)
+    else:
+        raise ValueError("Error: Unexpected filter type " + _type)
+
+
+def subsampling(data, lowpass_ratio, fs_ori=44100):
+    """resample_poly down-then-up (reference lowpass.py:134-144)."""
+    from scipy.signal import resample_poly
+
+    data = np.asarray(data)
+    fs_down = int(lowpass_ratio * fs_ori)
+    y = resample_poly(data, fs_down, fs_ori)
+    y = resample_poly(y, fs_ori, fs_down)
+    return align_length(data, y)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_bandpass(sos_key, lmax: int):
+    sos = np.frombuffer(sos_key, dtype=np.float64).reshape(-1, 6).copy()
+    plan = make_filtfilt_plan(sos, lmax)
+    H, r = plan_device_arrays(plan)
+    return jax.jit(lambda x, L: sosfiltfilt(x, L, plan, H, r))
+
+
+def bandpass(data, lowcut, highcut, fs, order=5, _type="butter"):
+    """Reference-compatible bandpass entry (lowpass.py:199-256)."""
+    data = np.asarray(data, dtype=np.float32)
+    _check_1d(data)
+    for name in ("butter", "cheby1", "cheby2", "ellip", "bessel"):
+        if _type in name:
+            order = limit(order, high=10, low=2)
+            sos = design_bandpass_sos(name, order, int(lowcut), int(highcut), fs)
+            L = data.shape[0]
+            lmax = _bucket(L)
+            buf = np.zeros(lmax, dtype=np.float32)
+            buf[:L] = data
+            fn = _jitted_bandpass(np.ascontiguousarray(sos).tobytes(), lmax)
+            return np.asarray(fn(jnp.asarray(buf), jnp.int32(L)))[:L]
+    raise ValueError("Error: Unexpected filter type " + _type)

@@ -168,21 +168,6 @@ def stft_magnitude(
     return jnp.sqrt(power)
 
 
-@functools.lru_cache(maxsize=32)
-def _window_sumsquare(cfg: StftConfig, max_frames: int) -> np.ndarray:
-    """Sum of squared, hop-shifted windows (host-precomputed, static)."""
-    win = hann_window(cfg.win)
-    if cfg.win < cfg.n_fft:
-        lpad = (cfg.n_fft - cfg.win) // 2
-        win = np.pad(win, (lpad, cfg.n_fft - cfg.win - lpad))
-    total = cfg.hop * (max_frames - 1) + cfg.n_fft
-    wss = np.zeros(total, dtype=np.float64)
-    w2 = win * win
-    for f in range(max_frames):
-        wss[f * cfg.hop : f * cfg.hop + cfg.n_fft] += w2
-    return wss.astype(np.float32)
-
-
 def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     """OLA of [F, n_fft] frames at stride `hop` -> [hop*(F-1) + n_fft].
 
@@ -241,7 +226,12 @@ def istft(
         win = np.pad(win, (lpad, cfg.n_fft - cfg.win - lpad))
     fr = fr * jnp.asarray(win.astype(np.float32))
     ola = _overlap_add(fr, cfg.hop)
-    wss = jnp.asarray(_window_sumsquare(cfg, max_frames))
+    # Window-sum-square must count only the valid frames (< nf) or the tail
+    # of a bucketed signal is normalized as if ghost frames contributed.
+    nf = n_frames_for_length(cfg, length)
+    fmask = (jnp.arange(max_frames) < nf).astype(fr.dtype)
+    w2 = jnp.asarray((win * win).astype(np.float32))
+    wss = _overlap_add(fmask[:, None] * w2[None, :], cfg.hop)
     ola = jnp.where(wss > 1e-10, ola / jnp.where(wss > 1e-10, wss, 1.0), ola)
     y = ola[cfg.pad : cfg.pad + out_len]
     if y.shape[0] < out_len:

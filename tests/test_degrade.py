@@ -1,0 +1,136 @@
+"""Degradation kernels vs. float64 oracle implementations of the
+reference's lowpass.py behaviors."""
+
+import numpy as np
+import pytest
+from scipy.signal import resample_poly, sosfiltfilt as scipy_sff
+
+import jax
+import jax.numpy as jnp
+
+from ssr_eval_tpu.degrade.apply import build_degrader
+from ssr_eval_tpu.degrade.lowpass import align_length, lowpass
+from ssr_eval_tpu.degrade.plan import DegradationSpec, expand_settings
+from ssr_eval_tpu.dsp.filters import design_lowpass_sos
+from tests.oracles import istft_np, stft_np
+
+
+def _sig(n, seed=0, sr=44100):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    return (
+        0.4 * np.sin(2 * np.pi * 700 * t)
+        + 0.3 * np.sin(2 * np.pi * 8000 * t + 1.0)
+        + 0.02 * rng.standard_normal(n)
+    ).astype(np.float32)
+
+
+def test_expand_settings_key_parity():
+    specs = expand_settings(
+        setting_lowpass_filtering={
+            "filter": ["cheby", "butter"],
+            "cutoff_freq": [8000, 44100],
+            "filter_order": [3, 6],
+        },
+        setting_subsampling={"cutoff_freq": [8000]},
+        setting_fft={"cutoff_freq": [24000]},
+        setting_mp3_compression={"low_kbps": [32]},
+        sr=44100,
+    )
+    keys = [s.key for s in specs]
+    # butter family first (preprocess order), cutoff x order grid, 44100
+    # decremented to 44099 (cutoff == sr quirk), then cheby, then
+    # subsampling, mp3, fft last.
+    assert keys == [
+        "proc_bw_8000_3_44100",
+        "proc_bw_8000_6_44100",
+        "proc_bw_44099_3_44100",
+        "proc_bw_44099_6_44100",
+        "proc_ch_8000_3_44100",
+        "proc_ch_8000_6_44100",
+        "proc_ch_44099_3_44100",
+        "proc_ch_44099_6_44100",
+        "proc_subsampling_8000_44100",
+        "proc_mp3_32_44100",
+        "proc_fft_24000_44100",
+    ]
+
+
+@pytest.mark.parametrize("ftype", ["butter", "cheby1", "bessel", "ellip"])
+def test_iir_degradation_matches_scipy(ftype):
+    L = 24000
+    x = _sig(L)
+    spec = DegradationSpec("k", "iir", ftype, 8000, 8, 44100)
+    fn = jax.jit(build_degrader(spec, L))
+    got = np.asarray(fn(jnp.asarray(x), jnp.int32(L)))
+    sos = design_lowpass_sos(ftype, 8, 4000, 44100)
+    ref = scipy_sff(sos, x.astype(np.float64))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_order_clamp():
+    """Order 15 clamps to 10; order 1 clamps to 2 (lowpass.py:147-153)."""
+    L = 16000
+    x = _sig(L, seed=1)
+    got = lowpass(x, 4000, 44100, order=15, _type="butter")
+    ref = scipy_sff(design_lowpass_sos("butter", 10, 4000, 44100), x.astype(np.float64))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+    got2 = lowpass(x, 4000, 44100, order=1, _type="butter")
+    ref2 = scipy_sff(design_lowpass_sos("butter", 2, 4000, 44100), x.astype(np.float64))
+    assert np.abs(got2 - ref2).max() / np.abs(ref2).max() < 1e-4
+
+
+def test_subsampling_matches_scipy_roundtrip():
+    """Including the reference's fs_ori=44100-always quirk."""
+    L = 20000
+    for sr, highcut in [(44100, 4000), (48000, 8000)]:
+        x = _sig(L, seed=2, sr=sr)
+        spec = DegradationSpec("k", "subsampling", None, highcut * 2, 1, sr)
+        fn = jax.jit(build_degrader(spec, L))
+        got = np.asarray(fn(jnp.asarray(x), jnp.int32(L)))
+        fs_down = int(highcut / int(sr / 2) * 44100)
+        y = resample_poly(x.astype(np.float64), fs_down, 44100)
+        y = resample_poly(y, 44100, fs_down)
+        ref = align_length(x, y)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, sr
+
+
+def test_fft_mask_matches_oracle():
+    L = 22050
+    x = _sig(L, seed=3)
+    spec = DegradationSpec("k", "fft", None, 12000, 1, 44100)
+    fn = jax.jit(build_degrader(spec, L))
+    got = np.asarray(fn(jnp.asarray(x), jnp.int32(L)))
+    Z = stft_np(x.astype(np.float64), 2048, 441)
+    cut = int(1025 * (6000 / 22050))
+    Z[cut:, :] = 0.0
+    ref = istft_np(Z, 2048, 441, length=L)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_fft_mask_bucketed_equals_tight():
+    L, Lmax = 15000, 32768
+    x = _sig(L, seed=4)
+    spec = DegradationSpec("k", "fft", None, 8000, 1, 44100)
+    tight = np.asarray(jax.jit(build_degrader(spec, L))(jnp.asarray(x), jnp.int32(L)))
+    xb = np.zeros(Lmax, np.float32)
+    xb[:L] = x
+    bucket = np.asarray(jax.jit(build_degrader(spec, Lmax))(jnp.asarray(xb), jnp.int32(L)))
+    np.testing.assert_allclose(bucket[:L], tight, atol=2e-5)
+    assert np.abs(bucket[L:]).max() == 0.0
+
+
+def test_lowpass_1d_validation():
+    with pytest.raises(ValueError):
+        lowpass(np.zeros((100, 1), np.float32), 4000, 44100)
+
+
+def test_lowpass_substring_dispatch():
+    """_type 'butt' matches 'butter'; 'stft_hard' routes to the mask."""
+    L = 8192
+    x = _sig(L, seed=5)
+    a = lowpass(x, 4000, 44100, order=5, _type="butt")
+    b = lowpass(x, 4000, 44100, order=5, _type="butter")
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError):
+        lowpass(x, 4000, 44100, _type="nonsense")
