@@ -1,0 +1,324 @@
+"""Batched, sharded evaluation engine — the TPU-native replacement for the
+reference's file-at-a-time Python loop (eval.py:128-156,171-198).
+
+Dataflow per (native_sr, length-bucket) group of utterances:
+
+    host decode (thread pool)                                [B files]
+      └─ device, one jitted program per (spec, bucket):
+           resample native->input_sr      (polyphase matmul)
+           degrade                        (fft-mask / IIR / subsampling)
+           testee.infer_batch             (if device-native testee)
+           resample output->evaluation_sr
+           metrics                        (LSD/SiSpec/log-SiSpec/SSIM)
+           resample native->evaluation_sr (ground-truth path, replacing
+                                           the per-file sox subprocess at
+                                           eval.py:133)
+      └─ host: collate per-file metric dicts (bit-compatible keys)
+
+Host-only testees (`BasicTestee.infer`) are bridged: the degraded batch
+round-trips through host numpy between two jitted programs.  MP3 specs run
+their codec round-trip on the host edge and re-enter the device pipeline
+for alignment + metrics.
+
+Batches are padded to a fixed size and, when a mesh is provided, sharded
+over the 'data' axis; padding rows are masked out at collation.
+"""
+
+from __future__ import annotations
+
+import functools
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ssr_eval_tpu.degrade.apply import build_degrader
+from ssr_eval_tpu.degrade.plan import DegradationSpec
+from ssr_eval_tpu.dsp.resample import apply_resample, resample_poly_plan
+from ssr_eval_tpu.io.audio import decode_audio
+from ssr_eval_tpu.metrics.kernels import metric_stft_config, spectral_metrics
+from ssr_eval_tpu.parallel.mesh import batch_sharding, replicated
+from ssr_eval_tpu.utils.bucket import bucket_length
+
+METRIC_KEYS = ("lsd", "log_sispec", "sispec", "ssim")
+
+
+class EvalEngine:
+    def __init__(
+        self,
+        specs,
+        input_sr,
+        output_sr,
+        evaluation_sr,
+        testee,
+        batch_size=4,
+        mesh=None,
+        save_processed_result=False,
+        test_name="test",
+        io_workers=8,
+    ):
+        self.specs = list(specs)
+        self.input_sr = int(input_sr)
+        self.output_sr = int(output_sr)
+        self.evaluation_sr = int(evaluation_sr)
+        self.testee = testee
+        self.batch_size = int(batch_size)
+        self.mesh = mesh
+        self.save_processed_result = save_processed_result
+        self.test_name = test_name
+        self.io_workers = io_workers
+        self._compiled = {}
+        self.device_testee = bool(getattr(testee, "jittable", False)) and hasattr(
+            testee, "infer_batch"
+        )
+
+    # ------------------------------------------------------------------
+    # Compiled pipeline builders
+    # ------------------------------------------------------------------
+
+    def _prep_fn(self, native_sr: int, lnat: int):
+        """(x_nat [B,Lnat], len_nat) -> x_in, len_in, gt, len_gt."""
+        key = ("prep", native_sr, lnat)
+        if key in self._compiled:
+            return self._compiled[key]
+        in_plan = resample_poly_plan(native_sr, self.input_sr, lnat)
+        lin = int(in_plan.out_length(lnat))
+        gt_plan = resample_poly_plan(native_sr, self.evaluation_sr, lnat)
+        lgt = int(gt_plan.out_length(lnat))
+        Wi = jnp.asarray(in_plan.Wd)
+        Wg = jnp.asarray(gt_plan.Wd)
+
+        def one(x, n):
+            xi, ni = apply_resample(x, n, in_plan, lin, Wi)
+            xg, ng = apply_resample(x, n, gt_plan, lgt, Wg)
+            return xi, ni, xg, ng
+
+        fn = jax.jit(jax.vmap(one))
+        self._compiled[key] = (fn, lin, lgt)
+        return self._compiled[key]
+
+    def _degrade_fn(self, spec: DegradationSpec, lin: int):
+        key = ("deg", spec, lin)
+        if key not in self._compiled:
+            deg = build_degrader(spec, lin)
+            self._compiled[key] = jax.jit(jax.vmap(deg))
+        return self._compiled[key]
+
+    def _score_fn(self, lout: int, lgt: int):
+        """(y [B,Lout], len_y, gt [B,Lgt], len_gt) -> metrics dict + y_eval."""
+        key = ("score", lout, lgt)
+        if key in self._compiled:
+            return self._compiled[key]
+        out_plan = resample_poly_plan(self.output_sr, self.evaluation_sr, lout)
+        leval = int(out_plan.out_length(lout))
+        Wo = jnp.asarray(out_plan.Wd)
+        cfg = metric_stft_config(self.evaluation_sr)
+        mf = cfg.max_frames(min(leval, lgt))
+
+        def one(y, ny, g, ng):
+            ye, ne = apply_resample(y, ny, out_plan, leval, Wo)
+            m = spectral_metrics(ye, ne, g, ng, cfg, mf)
+            return m, ye, ne
+
+        fn = jax.jit(jax.vmap(one))
+        self._compiled[key] = fn
+        return fn
+
+    def _fused_fn(self, spec: DegradationSpec, native_sr: int, lnat: int):
+        """Full chain for device-native testees: one XLA program."""
+        key = ("fused", spec, native_sr, lnat)
+        if key in self._compiled:
+            return self._compiled[key]
+        in_plan = resample_poly_plan(native_sr, self.input_sr, lnat)
+        lin = int(in_plan.out_length(lnat))
+        gt_plan = resample_poly_plan(native_sr, self.evaluation_sr, lnat)
+        lgt = int(gt_plan.out_length(lnat))
+        Wi = jnp.asarray(in_plan.Wd)
+        Wg = jnp.asarray(gt_plan.Wd)
+        deg = build_degrader(spec, lin)
+        cfg = metric_stft_config(self.evaluation_sr)
+        infer_batch = self.testee.infer_batch
+
+        def pipeline(x_nat, len_nat):
+            def prep_deg(x, n):
+                xi, ni = apply_resample(x, n, in_plan, lin, Wi)
+                xg, ng = apply_resample(x, n, gt_plan, lgt, Wg)
+                return deg(xi, ni), ni, xg, ng
+
+            d, ni, g, ng = jax.vmap(prep_deg)(x_nat, len_nat)
+            y, ny = infer_batch(d, ni)
+            lout = y.shape[1]
+            out_plan = resample_poly_plan(self.output_sr, self.evaluation_sr, lout)
+            leval = int(out_plan.out_length(lout))
+            Wo = jnp.asarray(out_plan.Wd)
+            mf = cfg.max_frames(min(leval, lgt))
+
+            def score(yy, nyy, gg, ngg):
+                ye, ne = apply_resample(yy, nyy, out_plan, leval, Wo)
+                return spectral_metrics(ye, ne, gg, ngg, cfg, mf), ye, ne
+
+            return jax.vmap(score)(y, ny, g, ng)
+
+        fn = jax.jit(pipeline)
+        self._compiled[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # Host-side orchestration
+    # ------------------------------------------------------------------
+
+    def decode_files(self, paths):
+        """Parallel host decode -> [(mono float32, native_sr)]."""
+
+        def one(p):
+            x, sr = decode_audio(p)
+            if x.ndim > 1:
+                x = x.mean(axis=1)
+            return x.astype(np.float32), int(sr)
+
+        with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
+            return list(ex.map(one, paths))
+
+    def _make_batches(self, items):
+        """Group (idx, audio, sr) by (sr, bucket), chunk to batch_size."""
+        groups = {}
+        for idx, (x, sr) in items:
+            b = bucket_length(len(x))
+            groups.setdefault((sr, b), []).append((idx, x))
+        for (sr, b), rows in groups.items():
+            for i in range(0, len(rows), self.batch_size):
+                chunk = rows[i : i + self.batch_size]
+                n_real = len(chunk)
+                while len(chunk) < self.batch_size:
+                    chunk.append(chunk[0])  # pad rows, masked at collation
+                xb = np.zeros((self.batch_size, b), np.float32)
+                lens = np.zeros(self.batch_size, np.int32)
+                for j, (_, x) in enumerate(chunk):
+                    xb[j, : len(x)] = x
+                    lens[j] = len(x)
+                yield (sr, b), [c[0] for c in chunk[:n_real]], xb, lens
+
+    def evaluate_files(self, paths):
+        """-> {path: {spec_key: {metric: float, ...}}} in spec order."""
+        decoded = self.decode_files(paths)
+        results = {p: {} for p in paths}
+        device_specs = [s for s in self.specs if s.family != "mp3"]
+        mp3_specs = [s for s in self.specs if s.family == "mp3"]
+
+        for (sr, b), idxs, xb, lens in self._make_batches(enumerate(decoded)):
+            if self.mesh is not None:
+                sh = batch_sharding(self.mesh)
+                xj = jax.device_put(xb, sh)
+                lj = jax.device_put(lens, sh)
+            else:
+                xj = jnp.asarray(xb)
+                lj = jnp.asarray(lens)
+            n_real = len(idxs)
+
+            if self.device_testee:
+                for spec in device_specs:
+                    fn = self._fused_fn(spec, sr, b)
+                    metrics, ye, ne = fn(xj, lj)
+                    self._collate(results, paths, idxs, spec, metrics, ye, ne, n_real)
+            else:
+                prep, lin, lgt = self._prep_fn(sr, b)
+                x_in, n_in, gt, n_gt = prep(xj, lj)
+                x_in_h = np.asarray(x_in)
+                n_in_h = np.asarray(n_in)
+                for spec in device_specs:
+                    dfn = self._degrade_fn(spec, lin)
+                    d = dfn(x_in, n_in)
+                    self._host_infer_and_score(
+                        results, paths, idxs, spec, np.asarray(d), n_in_h, gt, n_gt, n_real
+                    )
+                for spec in mp3_specs:
+                    self._mp3_spec(
+                        results, paths, idxs, spec, x_in_h, n_in_h, gt, n_gt, n_real
+                    )
+
+            if self.device_testee and mp3_specs:
+                prep, lin, lgt = self._prep_fn(sr, b)
+                x_in, n_in, gt, n_gt = prep(xj, lj)
+                for spec in mp3_specs:
+                    self._mp3_spec(
+                        results,
+                        paths,
+                        idxs,
+                        spec,
+                        np.asarray(x_in),
+                        np.asarray(n_in),
+                        gt,
+                        n_gt,
+                        n_real,
+                    )
+
+        # Re-order each file's keys to spec order (mp3 interleaves by family).
+        order = [s.key for s in self.specs]
+        for p in results:
+            results[p] = {k: results[p][k] for k in order if k in results[p]}
+        return results
+
+    def _host_infer_and_score(
+        self, results, paths, idxs, spec, d_h, n_in_h, gt, n_gt, n_real
+    ):
+        """Bridge a host testee: per-utterance infer, then batched scoring."""
+        outs = []
+        extras = []
+        for j in range(n_real):
+            ret = self.testee.infer(d_h[j, : n_in_h[j]])
+            if isinstance(ret, tuple):
+                y, add = ret
+            else:
+                y, add = ret, {}
+            outs.append(np.asarray(y, dtype=np.float32))
+            extras.append(add)
+        lout = bucket_length(max(len(y) for y in outs))
+        yb = np.zeros((d_h.shape[0], lout), np.float32)
+        ny = np.zeros(d_h.shape[0], np.int32)
+        for j, y in enumerate(outs):
+            yb[j, : len(y)] = y
+            ny[j] = len(y)
+        for j in range(n_real, d_h.shape[0]):
+            yb[j] = yb[0]
+            ny[j] = ny[0]
+        score = self._score_fn(lout, gt.shape[1])
+        metrics, ye, ne = score(jnp.asarray(yb), jnp.asarray(ny), gt, n_gt)
+        self._collate(results, paths, idxs, spec, metrics, ye, ne, n_real, extras)
+
+    def _mp3_spec(self, results, paths, idxs, spec, x_in_h, n_in_h, gt, n_gt, n_real):
+        from ssr_eval_tpu.degrade.codec import mp3_degrade
+        from ssr_eval_tpu.degrade.plan import DegradationSpec as _DS
+        import os
+
+        d_h = np.zeros_like(x_in_h)
+        for j in range(n_real):
+            p = paths[idxs[j]]
+            stem = os.path.splitext(os.path.basename(p))[0]
+            cache = os.path.join(os.path.dirname(p), f"{stem}_{spec.key}.flac")
+            x = x_in_h[j, : n_in_h[j]]
+            d = mp3_degrade(p, x, spec.sr, spec.kbps, cache_path=cache)
+            d_h[j, : len(d)] = d
+        for j in range(n_real, d_h.shape[0]):
+            d_h[j] = d_h[0]
+        self._host_infer_and_score(
+            results, paths, idxs, spec, d_h, n_in_h, gt, n_gt, n_real
+        )
+
+    def _collate(self, results, paths, idxs, spec, metrics, ye, ne, n_real, extras=None):
+        vals = {k: np.asarray(metrics[k]) for k in METRIC_KEYS}
+        ye_h = np.asarray(ye) if self.save_processed_result else None
+        ne_h = np.asarray(ne) if self.save_processed_result else None
+        for j in range(n_real):
+            p = paths[idxs[j]]
+            entry = {k: float(vals[k][j]) for k in METRIC_KEYS}
+            if extras:
+                entry.update(extras[j])
+            results[p][spec.key] = entry
+            if self.save_processed_result:
+                from ssr_eval_tpu.io.audio import write_wav
+
+                # Naming parity: file + key + "_processed_" + test_name + ".wav"
+                # (reference eval.py:137).
+                fname = p + spec.key + "_processed_" + self.test_name + ".wav"
+                write_wav(fname, ye_h[j, : ne_h[j]], self.evaluation_sr)

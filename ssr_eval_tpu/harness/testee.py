@@ -1,0 +1,157 @@
+"""Testee plugin surface.
+
+`BasicTestee` keeps API parity with the reference (eval.py:17-52): a
+single-utterance `infer(x: np.ndarray) -> np.ndarray` (optionally
+`(np.ndarray, dict)` for extra per-utterance metrics — the tuple protocol
+at eval.py:139-143 is public API), plus the cutoff-detection and low-band
+splice `postprocessing` helpers.
+
+`BatchedTestee` is the TPU-native extension: models implement
+`infer_batch(x: [B, Lmax], lengths) -> ([B, Lout], out_lengths)` as a
+jittable function, letting the harness fuse degrade -> infer -> metrics
+into one compiled, mesh-sharded program.  `BasicTestee` remains fully
+supported through a host bridge.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ssr_eval_tpu.dsp.spectral import (
+    StftConfig,
+    istft,
+    n_frames_for_length,
+    stft_magnitude,
+    stft_real_imag,
+)
+
+# librosa.stft defaults, used by the reference's cutoff detection and
+# postprocessing splice (eval.py:29,37-40).
+_POSTPROC_STFT = StftConfig(n_fft=2048, hop=512)
+
+
+def _bucket(n: int) -> int:
+    return max(4096, 1 << (n - 1).bit_length())
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_cutoff_energy(lmax: int):
+    cfg = _POSTPROC_STFT
+    mf = cfg.max_frames(lmax)
+
+    @jax.jit
+    def run(x, length):
+        mag = stft_magnitude(x, length, cfg, mf)  # [T, F]
+        nf = n_frames_for_length(cfg, length)
+        fmask = (jnp.arange(mf) < nf)[:, None].astype(mag.dtype)
+        return jnp.cumsum(jnp.sum(mag * fmask, axis=0))  # [F]
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _jit_splice(lmax: int):
+    cfg = _POSTPROC_STFT
+    mf = cfg.max_frames(lmax)
+
+    @jax.jit
+    def run(x, x_len, out, out_len, cutoff_bin):
+        gr, gi = stft_real_imag(x, x_len, cfg, mf)
+        orr, oi = stft_real_imag(out, out_len, cfg, mf)
+        bins = jnp.arange(cfg.n_bins)[None, :]
+        low = bins < cutoff_bin
+        real = jnp.where(low, gr, orr)
+        imag = jnp.where(low, gi, oi)
+        nf = n_frames_for_length(cfg, out_len)
+        fmask = (jnp.arange(mf) < nf)[:, None].astype(real.dtype)
+        return istft(real * fmask, imag * fmask, out_len, cfg, lmax)
+
+    return run
+
+
+class BasicTestee:
+    """Identity testee + reference helper methods (eval.py:17-52)."""
+
+    def __init__(self) -> None:
+        pass
+
+    def _find_cutoff(self, x, threshold=0.95):
+        """Largest index whose cumulative energy is below threshold*x[-1]
+        (vectorized equivalent of the reference loop, eval.py:21-26)."""
+        x = np.asarray(x)
+        thr = x[-1] * threshold
+        below = np.nonzero(x < thr)[0]
+        return int(below[-1]) if below.size else 0
+
+    def _get_cutoff_index(self, x):
+        x = np.asarray(x, dtype=np.float32)
+        L = x.shape[0]
+        lmax = _bucket(L)
+        buf = np.zeros(lmax, np.float32)
+        buf[:L] = x
+        energy = np.asarray(_jit_cutoff_energy(lmax)(jnp.asarray(buf), jnp.int32(L)))
+        return self._find_cutoff(energy, 0.97)
+
+    def postprocessing(self, x, out):
+        """Replace the low band of `out` with ground truth `x` below the
+        detected cutoff bin, then resynthesize at out's length
+        (eval.py:33-41)."""
+        x = np.asarray(x, dtype=np.float32)
+        out = np.asarray(out, dtype=np.float32)
+        length = out.shape[0]
+        cutoffratio = self._get_cutoff_index(x)
+        lmax = _bucket(max(x.shape[0], length))
+        xb = np.zeros(lmax, np.float32)
+        ob = np.zeros(lmax, np.float32)
+        xb[: x.shape[0]] = x
+        ob[:length] = out
+        y = _jit_splice(lmax)(
+            jnp.asarray(xb),
+            jnp.int32(x.shape[0]),
+            jnp.asarray(ob),
+            jnp.int32(length),
+            jnp.int32(cutoffratio),
+        )
+        return np.asarray(y)[:length]
+
+    def tensor2numpy(self, tensor):
+        """Accepts torch tensors (cuda-aware, eval.py:43-47), jax arrays,
+        or numpy; returns numpy."""
+        if isinstance(tensor, np.ndarray):
+            return tensor
+        if type(tensor).__module__.startswith("jax"):
+            return np.asarray(tensor)
+        if hasattr(tensor, "detach"):
+            if "cuda" in str(getattr(tensor, "device", "")):
+                return tensor.detach().cpu().numpy()
+            return tensor.detach().numpy()
+        return np.asarray(tensor)
+
+    def infer(self, x):
+        # x: [samples,] -> [samples,]
+        return x
+
+
+class BatchedTestee(BasicTestee):
+    """Device-native testee: override `infer_batch` with a jittable fn.
+
+    The default is identity, which lets the harness compile the full
+    degrade -> infer -> resample -> metrics chain into one XLA program.
+    """
+
+    #: True if `infer_batch` is jit-traceable (pure, static shapes).
+    jittable: bool = True
+
+    def infer_batch(self, x: jnp.ndarray, lengths: jnp.ndarray):
+        """x: [B, Lmax] at model_input_sr -> ([B, Lout], out_lengths)."""
+        return x, lengths
+
+    def infer(self, x):
+        """Single-utterance bridge through the batched path."""
+        arr = np.asarray(x, dtype=np.float32)[None, :]
+        y, ls = self.infer_batch(jnp.asarray(arr), jnp.asarray([arr.shape[1]]))
+        return np.asarray(y[0][: int(ls[0])])

@@ -1,0 +1,236 @@
+"""End-to-end harness tests on a synthetic VCTK-layout fixture set,
+validated against an independent float64 numpy/scipy pipeline that
+re-implements the reference's evaluate_single path (eval.py:128-156)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from scipy.signal import resample_poly
+
+import ssr_eval_tpu
+from ssr_eval_tpu.harness.fixtures import SPEAKERS, ensure_synthetic_vctk
+from ssr_eval_tpu.harness.smoke import test as smoke_test
+from ssr_eval_tpu.harness.testee import BasicTestee, BatchedTestee
+from ssr_eval_tpu.io.audio import decode_audio
+from tests.oracles import istft_np, lsd_np, sispec_np, ssim_np, stft_np
+
+
+@pytest.fixture(scope="module")
+def vctk_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data") / "vctk_test"
+    ensure_synthetic_vctk(str(root), files_per_speaker=2)
+    return str(root)
+
+
+def _oracle_fft_eval(path, cutoff=12000, input_sr=44100, eval_sr=48000):
+    """Reference pipeline in float64: load->degrade(fft)->resample->metrics."""
+    x, nat = decode_audio(path)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    x = x.astype(np.float64)
+    x_in = resample_poly(x, input_sr // 300, nat // 300)  # gcd(44100,48000)=300
+    target = x if nat == eval_sr else resample_poly(x, eval_sr, nat)
+    # fft-mask degradation at ratio cutoff/ (sr/2)
+    Z = stft_np(x_in, 2048, 441)
+    cut = int(1025 * (cutoff / int(input_sr / 2)))
+    Z[cut:, :] = 0.0
+    deg = istft_np(Z, 2048, 441, length=len(x_in))
+    # identity testee; output 44100 -> 48000
+    est = resample_poly(deg, eval_sr // 300, input_sr // 300)
+    min_len = min(len(est), len(target))
+    est, target = est[:min_len], target[:min_len]
+    hop, n_fft = int(eval_sr / 100), int(2048 / (44100 / eval_sr))
+    est_sp = np.abs(stft_np(est, n_fft, hop)).T
+    tgt_sp = np.abs(stft_np(target, n_fft, hop)).T
+    return {
+        "lsd": lsd_np(est_sp, tgt_sp),
+        "log_sispec": sispec_np(np.log10(est_sp + 1e-12), np.log10(tgt_sp + 1e-12)),
+        "sispec": sispec_np(est_sp, tgt_sp),
+        "ssim": ssim_np(est_sp, tgt_sp),
+    }
+
+
+@pytest.fixture(scope="module")
+def smoke_result(vctk_root, tmp_path_factory):
+    wd = tmp_path_factory.mktemp("run")
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        result = smoke_test(test_data_root=vctk_root, auto_download=False, batch_size=4)
+    finally:
+        os.chdir(cwd)
+    return result, str(wd), vctk_root
+
+
+def test_smoke_run_schema(smoke_result):
+    """Result dict matches the reference JSON schema (SURVEY C20)."""
+    result, wd, root = smoke_result
+    for spk in SPEAKERS:
+        assert spk in result
+        for fname, dists in result[spk].items():
+            assert fname.endswith(".flac")
+            assert list(dists.keys()) == ["proc_fft_24000_44100"]
+            assert set(dists["proc_fft_24000_44100"].keys()) == {
+                "lsd", "log_sispec", "sispec", "ssim",
+            }
+    assert "each_speaker" in result and "averaged" in result
+    assert "proc_fft_24000_44100" in result["averaged"]
+    # a results/<timestamp>-unprocessed.json was written
+    files = os.listdir(os.path.join(wd, "results"))
+    assert any(f.endswith("-unprocessed.json") for f in files)
+    with open(os.path.join(wd, "results", files[0])) as f:
+        j = json.load(f)
+    assert j["averaged"].keys() == result["averaged"].keys()
+
+
+def test_smoke_matches_float64_oracle(smoke_result):
+    """Per-file metrics within tolerance of the independent f64 pipeline."""
+    result, wd, root = smoke_result
+    checked = 0
+    for spk in SPEAKERS[:3]:
+        for fname, dists in result[spk].items():
+            ref = _oracle_fft_eval(os.path.join(root, spk, fname))
+            got = dists["proc_fft_24000_44100"]
+            assert abs(got["lsd"] - ref["lsd"]) < 5e-3, (fname, got["lsd"], ref["lsd"])
+            assert abs(got["ssim"] - ref["ssim"]) < 2e-3, fname
+            assert abs(got["sispec"] - ref["sispec"]) < 0.1, fname
+            assert abs(got["log_sispec"] - ref["log_sispec"]) < 0.1, fname
+            checked += 1
+    assert checked == 6
+
+
+def test_processed_results_saved(smoke_result):
+    result, wd, root = smoke_result
+    spk = SPEAKERS[0]
+    d = os.path.join(root, spk)
+    # Naming parity: <orig-path><key>_processed_<test_name>.wav (eval.py:137)
+    saved = [f for f in os.listdir(d) if f.endswith("_processed_unprocessed.wav")]
+    assert len(saved) == 2
+    assert all("proc_fft_24000_44100" in f for f in saved)
+
+
+def test_rerun_skips_processed_files(smoke_result, vctk_root):
+    """Files containing 'proc' are excluded from the test list
+    (reference eval.py:158-169)."""
+    result, wd, root = smoke_result
+    helper = ssr_eval_tpu.SSR_Eval_Helper(
+        BasicTestee(),
+        input_sr=44100,
+        output_sr=44100,
+        evaluation_sr=48000,
+        test_data_root=vctk_root,
+        setting_fft={"cutoff_freq": [12000]},
+        auto_download=False,
+    )
+    files = helper.get_test_file_list(os.path.join(vctk_root, SPEAKERS[0]))
+    assert len(files) == 2
+    assert all("proc" not in f for f in files)
+
+
+def test_batched_testee_fused_path(vctk_root, tmp_path):
+    """BatchedTestee (device identity) produces the same metrics as the
+    host-bridged BasicTestee."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        kwargs = dict(
+            input_sr=44100,
+            output_sr=44100,
+            evaluation_sr=44100,
+            test_data_root=vctk_root,
+            setting_fft={"cutoff_freq": [8000]},
+            auto_download=False,
+            batch_size=2,
+        )
+        r_host = ssr_eval_tpu.SSR_Eval_Helper(
+            BasicTestee(), test_name="host", **kwargs
+        ).evaluate(limit_test_nums=1, limit_test_speaker=2)
+        r_dev = ssr_eval_tpu.SSR_Eval_Helper(
+            BatchedTestee(), test_name="dev", **kwargs
+        ).evaluate(limit_test_nums=1, limit_test_speaker=2)
+    finally:
+        os.chdir(cwd)
+    for spk in r_host:
+        if spk in ("each_speaker", "averaged"):
+            continue
+        for f in r_host[spk]:
+            for m in ("lsd", "ssim", "sispec", "log_sispec"):
+                a = r_host[spk][f]["proc_fft_16000_44100"][m]
+                b = r_dev[spk][f]["proc_fft_16000_44100"][m]
+                assert abs(a - b) < 1e-4, (spk, f, m, a, b)
+
+
+def test_limit_semantics(vctk_root, tmp_path):
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        r = ssr_eval_tpu.SSR_Eval_Helper(
+            BasicTestee(),
+            input_sr=44100,
+            output_sr=44100,
+            evaluation_sr=44100,
+            test_data_root=vctk_root,
+            setting_fft={"cutoff_freq": [4000]},
+            auto_download=False,
+            test_name="lim",
+        ).evaluate(limit_test_nums=1, limit_test_speaker=3)
+    finally:
+        os.chdir(cwd)
+    speakers = [k for k in r if k not in ("each_speaker", "averaged")]
+    assert len(speakers) == 3
+    assert all(len(r[s]) == 1 for s in speakers)
+
+
+def test_additional_metrics_tuple_protocol(vctk_root, tmp_path):
+    """infer may return (audio, dict) — extra metrics merge into results
+    (reference eval.py:139-143)."""
+
+    class Extra(BasicTestee):
+        def infer(self, x):
+            return x, {"my_metric": 42.0}
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        r = ssr_eval_tpu.SSR_Eval_Helper(
+            Extra(),
+            input_sr=44100,
+            output_sr=44100,
+            evaluation_sr=44100,
+            test_data_root=vctk_root,
+            setting_fft={"cutoff_freq": [4000]},
+            auto_download=False,
+            test_name="extra",
+        ).evaluate(limit_test_nums=1, limit_test_speaker=1)
+    finally:
+        os.chdir(cwd)
+    spk = [k for k in r if k not in ("each_speaker", "averaged")][0]
+    entry = list(r[spk].values())[0]["proc_fft_8000_44100"]
+    assert entry["my_metric"] == 42.0
+    assert r["averaged"]["proc_fft_8000_44100"]["my_metric"] == 42.0
+
+
+def test_postprocessing_splice(vctk_root):
+    """BasicTestee.postprocessing splices GT low band into the output."""
+    path = os.path.join(vctk_root, "p360", "p360_000_mic1.flac")
+    x, sr = decode_audio(path)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    x = x[:32768].astype(np.float32)
+    t = BasicTestee()
+    noisy = (x + 0.1 * np.random.default_rng(0).standard_normal(len(x))).astype(
+        np.float32
+    )
+    out = t.postprocessing(x, noisy)
+    assert out.shape == noisy.shape
+    # low band should now be much closer to the ground truth than noisy was
+    Z_out = stft_np(out.astype(np.float64), 2048, 512)
+    Z_gt = stft_np(x.astype(np.float64), 2048, 512)
+    Z_noisy = stft_np(noisy.astype(np.float64), 2048, 512)
+    cut = t._get_cutoff_index(x)
+    assert cut > 10
+    low_err_out = np.abs(Z_out[: cut - 2] - Z_gt[: cut - 2]).mean()
+    low_err_noisy = np.abs(Z_noisy[: cut - 2] - Z_gt[: cut - 2]).mean()
+    assert low_err_out < 0.25 * low_err_noisy
