@@ -1,0 +1,150 @@
+"""NVSR — mel-domain speech super-resolution (reference examples/NVSR/
+nvsr_unet.py) as Flax modules over the framework's own DSP.
+
+Pipeline (reference nvsr_unet.py:71-127, main.py:96-109):
+    wav --STFT(2048/441, eps 1e-8)--> |sp| --mel fbanks--> mel
+    mel --Generator: analysis(to_log(mel)) + to_log(mel)--> log-mel
+    from_log --> vocoder --> wav, trim_center to input length
+
+Generator variants match the reference's registry (nvsr_unet.py:185-236):
+'unet' / 'unet_small' (the 99M UNetRes), 'bigru' (BN -> Linear -> 2-layer
+BiGRU -> MLP head), 'dnn' (MLP stack with BN).  to_log clips at 1e-8 and
+from_log clips the exponent at +5 (nvsr_unet.py:130-139).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ssr_eval_tpu.dsp.spectral import StftConfig, stft_magnitude
+from ssr_eval_tpu.models.mel import MelScale
+from ssr_eval_tpu.models.unet import UNetRes
+from ssr_eval_tpu.models.vocoder import HiFiGANVocoder
+
+NVSR_STFT = StftConfig(n_fft=2048, hop=441)
+
+
+def to_log(x):
+    return jnp.log10(jnp.clip(x, min=1e-8))
+
+
+def from_log(x):
+    return jnp.power(10.0, jnp.clip(x, max=5.0))
+
+
+class BNGRU(nn.Module):
+    """BatchNorm over a single pseudo-channel + stacked bidirectional GRU
+    (reference nvsr_unet.py:18-58)."""
+
+    hidden: int
+    layers: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: [B, T, F]
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.99, name="bn")(
+            x[..., None]
+        )[..., 0]
+        for l in range(self.layers):
+            fwd = nn.RNN(nn.GRUCell(self.hidden), name=f"gru_fwd_{l}")
+            bwd = nn.RNN(nn.GRUCell(self.hidden), name=f"gru_bwd_{l}")
+            a = fwd(h)
+            b = jnp.flip(bwd(jnp.flip(h, axis=1)), axis=1)
+            h = jnp.concatenate([a, b], axis=-1)
+        return h
+
+
+class Generator(nn.Module):
+    """Residual-in-log-mel-space generator (nvsr_unet.py:185-236)."""
+
+    model_name: str = "unet"
+    n_mels: int = 128
+
+    @nn.compact
+    def __call__(self, mel_orig, train: bool = False):
+        # mel_orig: [B, T, M] linear-scale mel
+        log_mel = to_log(mel_orig)
+        if self.model_name in ("unet", "unet_small"):
+            # unet_small's blocks are structurally identical in the
+            # reference (components/unet_small.py is a class-rename of
+            # unet.py); both use the 4-block residual groups.
+            out = UNetRes(channels=1, name="analysis_module")(
+                log_mel[..., None], train
+            )["mel"][..., 0]
+        elif self.model_name == "bigru":
+            m = self.n_mels
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.99, name="bn0")(
+                log_mel[..., None]
+            )[..., 0]
+            h = nn.Dense(m * 2, name="linear_in")(h)
+            h = BNGRU(m * 2, layers=2, name="bngru")(h, train)
+            h = nn.relu(h)
+            h = nn.Dense(m * 2, name="linear_mid")(h)
+            h = nn.relu(h)
+            out = nn.Dense(m, name="linear_out")(h)
+        elif self.model_name == "dnn":
+            m = self.n_mels
+            h = log_mel
+            for i, width in enumerate((m * 2, m * 4, m * 4)):
+                h = nn.Dense(width, name=f"dense_{i}")(h)
+                h = nn.relu(h)
+                h = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.99, name=f"bn_{i}"
+                )(h[..., None])[..., 0]
+            h = nn.Dense(m * 2, name="dense_3")(h)
+            h = nn.relu(h)
+            out = nn.Dense(m, name="dense_4")(h)
+        else:
+            raise ValueError(f"unknown generator {self.model_name!r}")
+        return {"mel": out + log_mel}
+
+
+class NVSR(nn.Module):
+    """Full NVSR: generator + native vocoder; `pre` maps wav -> mel."""
+
+    model_name: str = "unet"
+    n_mels: int = 128
+    sample_rate: int = 44100
+
+    def setup(self):
+        self.generator = Generator(self.model_name, self.n_mels)
+        self.vocoder = HiFiGANVocoder(n_mels=self.n_mels)
+        self._mel = MelScale(
+            n_mels=self.n_mels, sample_rate=self.sample_rate, n_stft=NVSR_STFT.n_bins
+        )
+
+    def pre(self, wav, length, max_frames):
+        """wav [Lmax] (true `length`) -> (sp [T,F], mel [T,M]).
+
+        Magnitude floor matches FDomainHelper's eps=1e-8 power clamp
+        (reference dsp.py:72-74 via :83-105)."""
+        sp = stft_magnitude(wav, length, NVSR_STFT, max_frames, eps=1e-8)
+        mel = self._mel(sp)
+        return sp, mel
+
+    def __call__(self, mel_orig, train: bool = False):
+        return self.generator(mel_orig, train)
+
+    def synthesize(self, log_mel):
+        """Denoised log-mel [B, T, M] -> waveform [B, T*hop]."""
+        return self.vocoder(from_log(log_mel))
+
+
+def trim_center(est, ref_len):
+    """Center-trim est [..., L] to ref_len (reference main.py:22-35).
+
+    Static-shape variant: est's length is compile-time; ref_len may be
+    traced.  Returns est rolled so the centered window starts at index 0,
+    then cut to ref_len by masking."""
+    L = est.shape[-1]
+    diff = L - ref_len
+    start = jnp.where(diff > 0, diff // 2, 0)
+    idx = jnp.arange(L) + start
+    rolled = jnp.take(est, jnp.clip(idx, 0, L - 1), axis=-1)
+    mask = jnp.arange(L) < ref_len
+    return jnp.where(mask, rolled, 0.0)

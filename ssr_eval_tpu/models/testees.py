@@ -1,0 +1,197 @@
+"""NVSR testees — device-native (batched, jittable) counterparts of the
+reference's three evaluation entry points (examples/NVSR/main.py:96-163):
+
+- `NVSRTestee`:        mel -> generator -> vocoder
+- `NVSRPostProcTestee`: + ground-truth low-band splice (BasicTestee.
+  postprocessing, reference eval.py:33-41) — here fully on device
+- `NVSRPaddingPostProcTestee`: generator ablation — tiles the mel row at
+  the detected cutoff into all higher bands before vocoding
+  (main.py:138-163)
+
+All three implement the BatchedTestee protocol, so the harness fuses
+degrade -> infer -> metrics into a single sharded XLA program per bucket.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ssr_eval_tpu.dsp.spectral import (
+    StftConfig,
+    istft,
+    n_frames_for_length,
+    stft_magnitude,
+    stft_real_imag,
+)
+from ssr_eval_tpu.harness.testee import BatchedTestee
+from ssr_eval_tpu.models.nvsr import NVSR, NVSR_STFT, from_log, trim_center
+
+CKPT_URL = (
+    "https://zenodo.org/record/6370601/files/epoch%3D11-step%3D22499-val_l%3D0.27.ckpt"
+)
+_POSTPROC_STFT = StftConfig(n_fft=2048, hop=512)
+
+
+def batched_cutoff_index(x, lengths, cfg=_POSTPROC_STFT, threshold=0.97):
+    """Device version of BasicTestee._get_cutoff_index (eval.py:28-31):
+    largest STFT bin whose cumulative (over bins) summed magnitude is
+    below threshold * total.  x: [B, Lmax] -> [B] int32."""
+    B, lmax = x.shape
+    mf = cfg.max_frames(lmax)
+
+    def one(xi, li):
+        mag = stft_magnitude(xi, li, cfg, mf)
+        nf = n_frames_for_length(cfg, li)
+        fmask = (jnp.arange(mf) < nf)[:, None].astype(mag.dtype)
+        energy = jnp.cumsum(jnp.sum(mag * fmask, axis=0))
+        thr = energy[-1] * threshold
+        below = energy < thr
+        idx = jnp.where(below, jnp.arange(energy.shape[0]), -1)
+        return jnp.maximum(jnp.max(idx), 0).astype(jnp.int32)
+
+    return jax.vmap(one)(x, lengths)
+
+
+def batched_low_band_splice(x, x_len, out, out_len, cutoff_bins):
+    """Device version of BasicTestee.postprocessing (eval.py:33-41):
+    replace out's STFT bins below each utterance's cutoff with the
+    ground-truth bins, resynthesize at out's length."""
+    cfg = _POSTPROC_STFT
+    lmax = out.shape[1]
+    mf = cfg.max_frames(lmax)
+
+    def one(xi, xl, oi, ol, cut):
+        gr, gi = stft_real_imag(xi, xl, cfg, mf)
+        orr, oim = stft_real_imag(oi, ol, cfg, mf)
+        low = (jnp.arange(cfg.n_bins) < cut)[None, :]
+        nf = n_frames_for_length(cfg, ol)
+        fmask = (jnp.arange(mf) < nf)[:, None].astype(gr.dtype)
+        real = jnp.where(low, gr, orr) * fmask
+        imag = jnp.where(low, gi, oim) * fmask
+        return istft(real, imag, ol, cfg, lmax)
+
+    return jax.vmap(one)(x, x_len, out, out_len, cutoff_bins)
+
+
+class NVSRTestee(BatchedTestee):
+    """Generator + vocoder inference (reference main.py:96-109)."""
+
+    jittable = True
+
+    def __init__(self, model_name="unet", params=None, seed=234, ckpt=None):
+        super().__init__()
+        self.model = NVSR(model_name=model_name)
+        if ckpt is not None:
+            params = self.load_checkpoint(ckpt)
+        if params is None:
+            params = self._random_init(seed)
+        self.variables = params
+
+    def _random_init(self, seed):
+        rng = jax.random.PRNGKey(seed)
+        mel = jnp.zeros((1, 128, 128), jnp.float32)
+        return self.model.init(rng, mel, train=False)
+
+    def load_checkpoint(self, path):
+        """Convert a torch NVSR state dict (the reference's Zenodo ckpt,
+        main.py:50-79) into Flax variables via models/convert.py."""
+        from ssr_eval_tpu.models.convert import torch_nvsr_to_flax
+
+        return torch_nvsr_to_flax(path, self.model)
+
+    # -- the fused device path ------------------------------------------
+
+    def _mel_of(self, x, lengths):
+        B, lmax = x.shape
+        mf = NVSR_STFT.max_frames(lmax)
+
+        def one(xi, li):
+            _, mel = self.model.apply(
+                self.variables, xi, li, mf, method=NVSR.pre
+            )
+            return mel
+
+        return jax.vmap(one)(x, lengths), mf
+
+    def _vocode(self, log_mel, lengths):
+        wav = self.model.apply(self.variables, log_mel, method=NVSR.synthesize)
+        return jax.vmap(trim_center)(wav, lengths), lengths
+
+    def infer_batch(self, x, lengths):
+        mel, _ = self._mel_of(x, lengths)
+        out = self.model.apply(self.variables, mel, train=False)
+        return self._vocode(out["mel"], lengths)
+
+
+class NVSRPostProcTestee(NVSRTestee):
+    """+ low-band GT splice after vocoding (reference main.py:112-127)."""
+
+    def infer_batch(self, x, lengths):
+        y, ny = super().infer_batch(x, lengths)
+        cut = batched_cutoff_index(x, lengths)
+        lmax = max(x.shape[1], y.shape[1])
+        xp = jnp.pad(x, ((0, 0), (0, lmax - x.shape[1])))
+        yp = jnp.pad(y, ((0, 0), (0, lmax - y.shape[1])))
+        out = batched_low_band_splice(xp, lengths, yp, ny, cut)
+        return out, ny
+
+
+class NVSRPaddingPostProcTestee(NVSRTestee):
+    """Vocoder-only ablation: tile the mel band at the cutoff upward
+    (add_segment_to_higher_freq, main.py:138-151), vocode, then splice."""
+
+    def _tile_mel(self, mel):
+        # mel: [B, T, M] linear mel. cutoff over mel bands via cumulative
+        # summed energy (get_cutoff_index_v2, main.py:100-102).
+        def one(m):
+            energy = jnp.cumsum(jnp.sum(m, axis=0))  # [M]
+            thr = energy[-1] * 0.97
+            below = energy < thr
+            cut = jnp.maximum(
+                jnp.max(jnp.where(below, jnp.arange(m.shape[1]), -1)), 0
+            )
+            row = m[:, cut]  # [T]
+            bands = jnp.arange(m.shape[1])[None, :]
+            keep_low = bands < cut
+            return jnp.where(keep_low, m, row[:, None])
+
+        return jax.vmap(one)(mel)
+
+    def infer_batch(self, x, lengths):
+        mel, _ = self._mel_of(x, lengths)
+        tiled = self._tile_mel(mel)
+        from ssr_eval_tpu.models.nvsr import to_log
+
+        y, ny = self._vocode(to_log(tiled), lengths)
+        cut = batched_cutoff_index(x, lengths)
+        lmax = max(x.shape[1], y.shape[1])
+        xp = jnp.pad(x, ((0, 0), (0, lmax - x.shape[1])))
+        yp = jnp.pad(y, ((0, 0), (0, lmax - y.shape[1])))
+        out = batched_low_band_splice(xp, lengths, yp, ny, cut)
+        return out, ny
+
+
+def download_checkpoint(cache_dir=None):
+    """Fetch the reference's pretrained 99M ckpt (main.py:50-79 behavior)
+    with checked errors; zero-egress environments get a clear message."""
+    import urllib.request
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "ssr_eval_tpu", "NVSR"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, "epoch=11-step=22499-val_l=0.27.pth")
+    if os.path.exists(path):
+        return path
+    try:
+        urllib.request.urlretrieve(CKPT_URL, path)
+    except Exception as e:
+        raise RuntimeError(
+            f"Could not download the NVSR checkpoint ({e}). Supply a local "
+            "torch state dict via NVSRTestee(ckpt=...)."
+        ) from e
+    return path
