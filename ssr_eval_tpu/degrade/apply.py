@@ -1,21 +1,25 @@
-"""Per-spec degradation kernels operating on bucketed [Lmax] buffers.
+"""Per-family degradation kernels operating on bucketed [Lmax] buffers.
 
-Each builder returns a pure function `(x, length) -> y` ([Lmax] in, [Lmax]
-out, shape preserved like the reference asserts at eval.py:348-349) that is
-jit/vmap-compatible; the engine vmaps it over the utterance batch and jits
-the whole degrade→metric chain per (spec, bucket).
+Sweep parameters are **traced data, not compile-time constants**: one
+compiled program per (family, bucket) serves every cutoff/order/filter in
+a sweep — compile count stays O(families x buckets) instead of
+O(specs x buckets).  `spec_params(spec, max_len)` produces the device
+arrays for a given spec; `build_family_degrader(family, max_len)` builds
+the pure function `(x, length, params) -> y` that the engine vmaps/jits.
 
 Family semantics (with reference quirks preserved — SURVEY §7):
-- fft: STFT(2048/441) mag/cos/sin, zero bins >= int(1025 * ratio), iSTFT
-  to the original length (lowpass.py:17-28).  The reference's eps=1e-8
-  magnitude clamp cancels exactly in mag*cos / mag*sin, so the roundtrip
-  is a plain mask on real/imag.
-- iir: zero-phase SOS filtering (scipy-semantics FFT-conv kernel), order
-  clamped to [2, 10] (lowpass.py:147-153,168).
-- subsampling: resample_poly down then up with the reference's fs_ori=44100
-  default left at 44100 even for other input rates (lowpass.py:134-144 —
-  the `fs_ori` argument is never forwarded), then align_length to the
-  input length (pad/crop).
+- fft: STFT(2048/441), zero bins >= int(1025 * ratio) (a traced bin
+  index), iSTFT to the original length (reference lowpass.py:17-28).  The
+  reference's eps=1e-8 magnitude clamp cancels exactly in mag*cos /
+  mag*sin, so the roundtrip is a plain mask on real/imag.
+- iir: zero-phase SOS filtering; the host-designed impulse/zi responses
+  (H spectrum, r) and the odd-extension edge length are all device args,
+  so butter/cheby/ellip/bessel at any order share one program.  Order is
+  clamped to [2, 10] (lowpass.py:147-153,168) at design time.
+- subsampling: resample_poly down then up with the reference's
+  fs_ori=44100-always quirk (lowpass.py:134-144 — `fs_ori` never
+  forwarded), then align_length to the input length.  Resample plans have
+  ratio-dependent shapes, so these compile per distinct ratio.
 """
 
 from __future__ import annotations
@@ -23,14 +27,14 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ssr_eval_tpu.degrade.plan import DegradationSpec
 from ssr_eval_tpu.dsp.filters import (
     design_lowpass_sos,
     make_filtfilt_plan,
-    plan_device_arrays,
-    sosfiltfilt,
+    sosfiltfilt_dynamic,
 )
 from ssr_eval_tpu.dsp.resample import apply_resample, resample_poly_plan
 from ssr_eval_tpu.dsp.spectral import (
@@ -43,67 +47,114 @@ from ssr_eval_tpu.dsp.spectral import (
 # The degradation STFT (FDomainHelper defaults, reference dsp.py:7-10).
 DEGRADE_STFT = StftConfig(n_fft=2048, hop=441)
 
-
-def _build_fft_mask(spec: DegradationSpec, max_len: int):
-    cfg = DEGRADE_STFT
-    mf = cfg.max_frames(max_len)
-    cut = int(cfg.n_bins * spec.lowpass_ratio)  # int(1025 * ratio), lowpass.py:24
-
-    def fn(x, length):
-        real, imag = stft_real_imag(x, length, cfg, mf)
-        nf = n_frames_for_length(cfg, length)
-        fmask = (jnp.arange(mf) < nf)[:, None]
-        bmask = (jnp.arange(cfg.n_bins) < cut)[None, :]
-        m = (fmask & bmask).astype(real.dtype)
-        return istft(real * m, imag * m, length, cfg, max_len)
-
-    return fn
+# Upper bound on scipy's odd-extension edge: order<=10 lowpass -> <=5 SOS
+# sections -> ntaps 11 -> edge 33; bandpass doubles sections -> 63.
+EDGE_MAX = 64
 
 
-def _build_iir(spec: DegradationSpec, max_len: int):
-    sos = design_lowpass_sos(spec.ftype, spec.clamped_order, spec.highcut, spec.sr)
-    plan = make_filtfilt_plan(sos, max_len)
-    H, r = plan_device_arrays(plan)
-
-    def fn(x, length):
-        return sosfiltfilt(x, length, plan, H, r)
-
-    return fn
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
 
 
-def _build_subsampling(spec: DegradationSpec, max_len: int):
-    # Reference quirk: fs_ori is ALWAYS 44100 (default never overridden).
-    fs_ori = 44100
-    fs_down = int(spec.lowpass_ratio * fs_ori)
-    p1 = resample_poly_plan(fs_ori, fs_down, max_len)
-    o1 = int(p1.out_length(max_len))
-    p2 = resample_poly_plan(fs_down, fs_ori, o1)
-    o2 = int(p2.out_length(o1))
-    W1 = jnp.asarray(p1.Wd)
-    W2 = jnp.asarray(p2.Wd)
-
-    def fn(x, length):
-        y1, n1 = apply_resample(x, length, p1, o1, W1)
-        y2, n2 = apply_resample(y1, n1, p2, o2, W2)
-        # align_length (lowpass.py:142-143): pad with zeros or crop to L.
-        out = y2[:max_len] if o2 >= max_len else jnp.pad(y2, (0, max_len - o2))
-        idx = jnp.arange(max_len)
-        return jnp.where((idx < length) & (idx < n2), out, 0.0)
-
-    return fn
+def iir_fft_size(max_len: int) -> int:
+    return _next_pow2(2 * (max_len + 2 * EDGE_MAX))
 
 
-@functools.lru_cache(maxsize=256)
-def build_degrader(spec: DegradationSpec, max_len: int):
-    """-> pure fn(x [Lmax], length) -> y [Lmax] for device families.
+def family_key(spec: DegradationSpec) -> tuple:
+    """Compile-cache key: specs with the same key share one XLA program."""
+    if spec.family == "subsampling":
+        return ("subsampling", spec.cutoff, spec.sr)  # ratio-dependent shapes
+    return (spec.family,)
+
+
+def spec_params(spec: DegradationSpec, max_len: int):
+    """Device-arg pytree for `spec` (host design work happens here, once)."""
+    if spec.family == "fft":
+        cut = int(DEGRADE_STFT.n_bins * spec.lowpass_ratio)  # lowpass.py:24
+        return {"cut": jnp.int32(cut)}
+    if spec.family == "iir":
+        sos = design_lowpass_sos(spec.ftype, spec.clamped_order, spec.highcut, spec.sr)
+        plan = make_filtfilt_plan(sos, max_len, edge_max=EDGE_MAX)
+        fft_size = iir_fft_size(max_len)
+        h = np.zeros(fft_size, dtype=np.float32)
+        h[: plan.h.shape[0]] = plan.h
+        H = np.fft.rfft(h).astype(np.complex64)
+        r = np.zeros(max_len + 2 * EDGE_MAX, dtype=np.float32)
+        r[: plan.r.shape[0]] = plan.r
+        return {
+            "edge": jnp.int32(plan.edge),
+            "H": jnp.asarray(H),
+            "r": jnp.asarray(r),
+        }
+    if spec.family == "subsampling":
+        # One leaf so stacked-spec vmaps can infer the spec axis size.
+        return {"_dummy": jnp.zeros((), jnp.float32)}
+    raise ValueError(f"family {spec.family!r} is not a device degradation")
+
+
+@functools.lru_cache(maxsize=64)
+def build_family_degrader(key: tuple, max_len: int):
+    """-> pure fn(x [Lmax], length, params) -> y [Lmax].
 
     The mp3 family is host-edge work (codec subprocess) and handled by
-    `ssr_eval_tpu.degrade.codec`; requesting it here raises.
+    `ssr_eval_tpu.degrade.codec`.
     """
-    if spec.family == "fft":
-        return _build_fft_mask(spec, max_len)
-    if spec.family == "iir":
-        return _build_iir(spec, max_len)
-    if spec.family == "subsampling":
-        return _build_subsampling(spec, max_len)
-    raise ValueError(f"family {spec.family!r} is not a device degradation")
+    family = key[0]
+    if family == "fft":
+        cfg = DEGRADE_STFT
+        mf = cfg.max_frames(max_len)
+
+        def fft_fn(x, length, params):
+            real, imag = stft_real_imag(x, length, cfg, mf)
+            nf = n_frames_for_length(cfg, length)
+            fmask = (jnp.arange(mf) < nf)[:, None]
+            bmask = (jnp.arange(cfg.n_bins) < params["cut"])[None, :]
+            m = (fmask & bmask).astype(real.dtype)
+            return istft(real * m, imag * m, length, cfg, max_len)
+
+        return fft_fn
+
+    if family == "iir":
+        fft_size = iir_fft_size(max_len)
+
+        def iir_fn(x, length, params):
+            return sosfiltfilt_dynamic(
+                x, length, params["edge"], params["H"], params["r"], fft_size, EDGE_MAX
+            )
+
+        return iir_fn
+
+    if family == "subsampling":
+        _, cutoff, sr = key
+        # Reference quirk: fs_ori is ALWAYS 44100 (default never overridden).
+        fs_ori = 44100
+        fs_down = int((cutoff // 2) / int(sr / 2) * fs_ori)
+        p1 = resample_poly_plan(fs_ori, fs_down, max_len)
+        o1 = int(p1.out_length(max_len))
+        p2 = resample_poly_plan(fs_down, fs_ori, o1)
+        o2 = int(p2.out_length(o1))
+        W1 = jnp.asarray(p1.Wd)
+        W2 = jnp.asarray(p2.Wd)
+
+        def sub_fn(x, length, params):
+            y1, n1 = apply_resample(x, length, p1, o1, W1)
+            y2, n2 = apply_resample(y1, n1, p2, o2, W2)
+            # align_length (lowpass.py:142-143): zero-pad or crop to L.
+            out = y2[:max_len] if o2 >= max_len else jnp.pad(y2, (0, max_len - o2))
+            idx = jnp.arange(max_len)
+            return jnp.where((idx < length) & (idx < n2), out, 0.0)
+
+        return sub_fn
+
+    raise ValueError(f"family {family!r} is not a device degradation")
+
+
+def build_degrader(spec: DegradationSpec, max_len: int):
+    """Back-compat single-spec builder: params baked via closure."""
+    fn = build_family_degrader(family_key(spec), max_len)
+    params = spec_params(spec, max_len)
+
+    def run(x, length):
+        return fn(x, length, params)
+
+    return run

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ssr_eval_tpu.degrade.plan import DegradationSpec
-from ssr_eval_tpu.degrade.apply import build_degrader
+from ssr_eval_tpu.degrade.apply import build_family_degrader, family_key, spec_params
 from ssr_eval_tpu.dsp.filters import (
     design_bandpass_sos,
     make_filtfilt_plan,
@@ -53,8 +53,8 @@ def _bucket(n: int) -> int:
 
 
 @functools.lru_cache(maxsize=128)
-def _jitted(spec: DegradationSpec, lmax: int):
-    fn = build_degrader(spec, lmax)
+def _jitted(fkey: tuple, lmax: int):
+    fn = build_family_degrader(fkey, lmax)
     return jax.jit(fn)
 
 
@@ -63,7 +63,8 @@ def _run_device(spec: DegradationSpec, data: np.ndarray) -> np.ndarray:
     lmax = _bucket(L)
     buf = np.zeros(lmax, dtype=np.float32)
     buf[:L] = data
-    y = _jitted(spec, lmax)(jnp.asarray(buf), jnp.int32(L))
+    fn = _jitted(family_key(spec), lmax)
+    y = fn(jnp.asarray(buf), jnp.int32(L), spec_params(spec, lmax))
     return np.asarray(y)[:L]
 
 

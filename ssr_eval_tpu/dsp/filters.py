@@ -107,10 +107,13 @@ def _plan_cache(sos_bytes: bytes, n_sections: int, max_len: int) -> FiltFiltPlan
     )
 
 
-def make_filtfilt_plan(sos: np.ndarray, max_len: int) -> FiltFiltPlan:
+def make_filtfilt_plan(sos: np.ndarray, max_len: int, edge_max: int | None = None) -> FiltFiltPlan:
     """Build (and cache) the device plan for a given SOS and bucket length."""
     sos = np.ascontiguousarray(sos, dtype=np.float64)
-    return _plan_cache(sos.tobytes(), sos.shape[0], max_len)
+    plan = _plan_cache(sos.tobytes(), sos.shape[0], max_len)
+    if edge_max is not None and plan.edge > edge_max:
+        raise ValueError(f"edge {plan.edge} exceeds edge_max {edge_max}")
+    return plan
 
 
 def _odd_extend(x: jnp.ndarray, length, edge: int) -> jnp.ndarray:
@@ -182,6 +185,59 @@ def sosfiltfilt(x: jnp.ndarray, length, plan: FiltFiltPlan, H: jnp.ndarray, r: j
     out_idx = jnp.clip(n_ext - 1 - edge - k, 0, n_ext_buf - 1)
     out = jnp.where(k < length, y_b[out_idx], 0.0)
     return out
+
+
+def sosfiltfilt_dynamic(x, length, edge, H, r, fft_size: int, edge_max: int):
+    """Zero-phase filter with the filter itself as *data*.
+
+    Like `sosfiltfilt`, but the odd-extension edge length is a traced
+    scalar and (H, r) are device arrays sized for `edge_max`, so ONE
+    compiled program serves every (ftype, order, cutoff) in a sweep —
+    sweep parameters are data, not constants (compile count = buckets,
+    not specs).
+
+    x: [Lmax]; H: rfft of the padded impulse response [fft_size//2+1];
+    r: [Lmax + 2*edge_max] zero-input response (zero-padded past its
+    design length — those positions are masked).
+    """
+    Lmax = x.shape[0]
+    n_ext_buf = Lmax + 2 * edge_max
+    n_ext = length + 2 * edge
+
+    ext = _odd_extend_dynamic(x, length, edge, n_ext_buf)
+    y_f = _fft_lfilter(ext, ext[0], H, r, fft_size)
+    valid = jnp.arange(n_ext_buf) < n_ext
+    y_f = jnp.where(valid, y_f, 0.0)
+
+    rev_idx = jnp.clip(n_ext - 1 - jnp.arange(n_ext_buf), 0, n_ext_buf - 1)
+    z = jnp.where(valid, y_f[rev_idx], 0.0)
+    y_b = _fft_lfilter(z, z[0], H, r, fft_size)
+    y_b = jnp.where(valid, y_b, 0.0)
+
+    k = jnp.arange(Lmax)
+    out_idx = jnp.clip(n_ext - 1 - edge - k, 0, n_ext_buf - 1)
+    return jnp.where(k < length, y_b[out_idx], 0.0)
+
+
+def _odd_extend_dynamic(x, length, edge, n_ext_buf: int):
+    """`_odd_extend` with a traced edge length; output [n_ext_buf]."""
+    Lmax = x.shape[0]
+    v = jnp.arange(n_ext_buf, dtype=jnp.int32)
+    i = v - edge
+    left_idx = jnp.clip(-i, 0, Lmax - 1)
+    mid_idx = jnp.clip(i, 0, Lmax - 1)
+    right_idx = jnp.clip(2 * (length - 1) - i, 0, Lmax - 1)
+    x0 = x[0]
+    xl = x[jnp.clip(length - 1, 0, Lmax - 1)]
+    return jnp.where(
+        i < 0,
+        2.0 * x0 - x[left_idx],
+        jnp.where(
+            i < length,
+            x[mid_idx],
+            jnp.where(i < length + edge, 2.0 * xl - x[right_idx], 0.0),
+        ),
+    )
 
 
 def plan_device_arrays(plan: FiltFiltPlan):

@@ -28,6 +28,7 @@ from typing import NamedTuple
 import numpy as np
 from scipy import signal as _sps
 
+import jax
 import jax.numpy as jnp
 
 
@@ -114,12 +115,12 @@ def apply_resample(x: jnp.ndarray, length, plan: ResamplePlan, out_len: int, Wd:
     pad_right = max(0, need - x.shape[0])
     xp = jnp.pad(x, (left, pad_right))
     idx = (
-        np.arange(n_blocks, dtype=np.int32)[:, None] * down
-        + np.arange(S, dtype=np.int32)[None, :]
+        jnp.arange(n_blocks, dtype=jnp.int32)[:, None] * down
+        + jnp.arange(S, dtype=jnp.int32)[None, :]
     )
-    XW = xp[jnp.asarray(idx)]                  # [n_blocks, S]
+    XW = xp[idx]                               # [n_blocks, S]
 
-    Y = jnp.dot(XW, Wd.T, preferred_element_type=jnp.float32)  # [n_blocks, up]
+    Y = jnp.dot(XW, Wd.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [n_blocks, up]
     y_full = Y.reshape(n_blocks * up)
     y = y_full[plan.n_pre_remove : plan.n_pre_remove + out_len]
 

@@ -126,9 +126,11 @@ def _frames(x: jnp.ndarray, length, cfg: StftConfig, max_frames: int) -> jnp.nda
         ext = _extend(x, length, cfg.pad)
     else:
         ext = x
-    starts = np.arange(max_frames, dtype=np.int32)[:, None] * cfg.hop
-    offs = np.arange(cfg.n_fft, dtype=np.int32)[None, :]
-    fr = ext[jnp.asarray(starts + offs)]
+    # Indices computed on device (iota), never materialized as HLO
+    # constants — multi-MB index literals explode XLA compile time.
+    starts = jnp.arange(max_frames, dtype=jnp.int32)[:, None] * cfg.hop
+    offs = jnp.arange(cfg.n_fft, dtype=jnp.int32)[None, :]
+    fr = ext[starts + offs]
     win = hann_window(cfg.win).astype(np.float32)
     if cfg.win < cfg.n_fft:
         # Center-pad the window to n_fft (librosa util.pad_center semantics).
@@ -148,8 +150,8 @@ def stft_real_imag(
     fr = _frames(x, length, cfg, max_frames)
     if _use_matmul_dft(cfg.n_fft):
         wr, wi = _dft_matrices(cfg.n_fft)
-        real = jnp.dot(fr, jnp.asarray(wr), preferred_element_type=jnp.float32)
-        imag = jnp.dot(fr, jnp.asarray(wi), preferred_element_type=jnp.float32)
+        real = jnp.dot(fr, jnp.asarray(wr), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        imag = jnp.dot(fr, jnp.asarray(wi), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     else:
         z = jnp.fft.rfft(fr, n=cfg.n_fft, axis=-1)
         real, imag = jnp.real(z), jnp.imag(z)
@@ -215,8 +217,8 @@ def istft(
         if cfg.n_fft % 2 == 0:
             scale[-1] = 1.0
         fr = (
-            jnp.dot(real * jnp.asarray(scale), jnp.asarray(wr.T), preferred_element_type=jnp.float32)
-            + jnp.dot(imag * jnp.asarray(scale), jnp.asarray(wi.T), preferred_element_type=jnp.float32)
+            jnp.dot(real * jnp.asarray(scale), jnp.asarray(wr.T), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            + jnp.dot(imag * jnp.asarray(scale), jnp.asarray(wi.T), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         ) / cfg.n_fft
     else:
         fr = jnp.fft.irfft(real + 1j * imag, n=cfg.n_fft, axis=-1)

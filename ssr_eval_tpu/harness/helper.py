@@ -214,7 +214,6 @@ class SSR_Eval_Helper:
         import jax
         import jax.numpy as jnp
 
-        from ssr_eval_tpu.degrade.apply import build_degrader
         from ssr_eval_tpu.io.audio import load
         from ssr_eval_tpu.utils.bucket import bucket_length
 
@@ -235,6 +234,12 @@ class SSR_Eval_Helper:
         buf[:L] = x
         xj = jnp.asarray(buf)
         out = {}
+        from ssr_eval_tpu.degrade.apply import (
+            build_family_degrader,
+            family_key,
+            spec_params,
+        )
+
         for spec in specs:
             if spec.family == "mp3":
                 from ssr_eval_tpu.degrade.codec import mp3_degrade
@@ -243,8 +248,10 @@ class SSR_Eval_Helper:
                 cache = os.path.join(os.path.dirname(file), f"{stem}_{spec.key}.flac")
                 out[spec.key] = mp3_degrade(file, x, sr, spec.kbps, cache_path=cache)
             else:
-                fn = jax.jit(build_degrader(spec, lmax))
-                out[spec.key] = np.asarray(fn(xj, jnp.int32(L)))[:L]
+                fn = jax.jit(build_family_degrader(family_key(spec), lmax))
+                out[spec.key] = np.asarray(
+                    fn(xj, jnp.int32(L), spec_params(spec, lmax))
+                )[:L]
         return out
 
     # Length helpers kept for API parity (reference eval.py:272-300).

@@ -1,0 +1,78 @@
+"""ctypes binding to the native ssrio library (native/ssrio.cpp).
+
+Build with `make -C native` (or `python -m ssr_eval_tpu.io.build_native`);
+if the shared library is absent or fails to load, importing this module
+raises and ssr_eval_tpu.io.audio silently falls back to the pure-Python
+codec.  Decode releases the GIL inside the C call, so the engine's decode
+thread pool gets real parallelism.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libssrio.so")
+
+_lib = ctypes.CDLL(_LIB_PATH)
+
+_lib.ssrio_decode_flac.restype = ctypes.c_int
+_lib.ssrio_decode_flac.argtypes = [
+    ctypes.c_char_p,
+    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+    ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_int),
+    ctypes.POINTER(ctypes.c_int),
+]
+_lib.ssrio_encode_flac.restype = ctypes.c_int
+_lib.ssrio_encode_flac.argtypes = [
+    ctypes.c_char_p,
+    ctypes.POINTER(ctypes.c_float),
+    ctypes.c_int64,
+    ctypes.c_int,
+    ctypes.c_int,
+    ctypes.c_int,
+]
+_lib.ssrio_free.restype = None
+_lib.ssrio_free.argtypes = [ctypes.c_void_p]
+
+
+def decode(path: str):
+    """-> (float32 [n] or [n, ch] in [-1, 1], sample_rate)."""
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    ch = ctypes.c_int()
+    sr = ctypes.c_int()
+    rc = _lib.ssrio_decode_flac(
+        path.encode(), ctypes.byref(out), ctypes.byref(n), ctypes.byref(ch), ctypes.byref(sr)
+    )
+    if rc != 0:
+        raise ValueError(f"ssrio: FLAC decode failed for {path} (rc={rc})")
+    try:
+        count = n.value * ch.value
+        arr = np.ctypeslib.as_array(out, shape=(count,)).copy()
+    finally:
+        _lib.ssrio_free(out)
+    if ch.value > 1:
+        arr = arr.reshape(-1, ch.value)
+    return arr, sr.value
+
+
+def encode(path: str, data: np.ndarray, sr: int, bps: int = 16):
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    if data.ndim == 1:
+        n, ch = data.shape[0], 1
+    else:
+        n, ch = data.shape
+    rc = _lib.ssrio_encode_flac(
+        path.encode(),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n,
+        ch,
+        int(sr),
+        bps,
+    )
+    if rc != 0:
+        raise ValueError(f"ssrio: FLAC encode failed for {path} (rc={rc})")

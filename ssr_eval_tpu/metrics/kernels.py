@@ -108,16 +108,15 @@ def _ssim(est_sp, tgt_sp, n_frames):
     return jnp.sum(S * mask) / count
 
 
-def spectral_metrics(est, est_len, tgt, tgt_len, cfg: StftConfig, max_frames: int):
-    """All four metrics for one buffered (est, target) pair.
+def spectral_metrics_with_target(est, min_len, tgt_sp, cfg: StftConfig, max_frames: int):
+    """Metrics of `est` against a precomputed target spectrogram.
 
-    est/tgt: [Lmax] buffers with traced true lengths.  Implements the
-    reference's truncate-to-min semantics (metrics.py:89-90) by analyzing
-    both signals at min(est_len, tgt_len).  Returns a dict of f32 scalars.
+    `tgt_sp` must be the magnitude STFT of the target truncated to the
+    same `min_len` (see `spectral_metrics`).  Splitting the target out
+    lets sweep evaluations compute it once per utterance and share it
+    across every degradation spec.
     """
-    min_len = jnp.minimum(est_len, tgt_len)
     est_sp = stft_magnitude(est, min_len, cfg, max_frames)
-    tgt_sp = stft_magnitude(tgt, min_len, cfg, max_frames)
 
     nf = n_frames_for_length(cfg, min_len)
     fmask = (jnp.arange(max_frames) < nf).astype(est_sp.dtype)
@@ -132,6 +131,18 @@ def spectral_metrics(est, est_len, tgt, tgt_len, cfg: StftConfig, max_frames: in
         "sispec": _sispec(est_m, tgt_m),
         "ssim": _ssim(est_m, tgt_m, nf),
     }
+
+
+def spectral_metrics(est, est_len, tgt, tgt_len, cfg: StftConfig, max_frames: int):
+    """All four metrics for one buffered (est, target) pair.
+
+    est/tgt: [Lmax] buffers with traced true lengths.  Implements the
+    reference's truncate-to-min semantics (metrics.py:89-90) by analyzing
+    both signals at min(est_len, tgt_len).  Returns a dict of f32 scalars.
+    """
+    min_len = jnp.minimum(est_len, tgt_len)
+    tgt_sp = stft_magnitude(tgt, min_len, cfg, max_frames)
+    return spectral_metrics_with_target(est, min_len, tgt_sp, cfg, max_frames)
 
 
 def batched_spectral_metrics(est, est_lens, tgt, tgt_lens, cfg: StftConfig, max_frames: int):

@@ -13,6 +13,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -76,4 +77,4 @@ class MelScale:
         self.fb = melscale_fbanks(n_stft, f_min, f_max, n_mels, sample_rate)
 
     def __call__(self, spec):
-        return jnp.matmul(spec, jnp.asarray(self.fb), preferred_element_type=jnp.float32)
+        return jnp.matmul(spec, jnp.asarray(self.fb), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)

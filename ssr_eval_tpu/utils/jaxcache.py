@@ -1,0 +1,30 @@
+"""Persistent XLA compilation cache.
+
+The tunneled TPU backend costs ~30 s per program compile; the persistent
+cache turns repeat compiles (across processes and rounds) into sub-second
+loads.  Enabled once, idempotently, by the engine/bench/entry points.
+Opt out with SSR_EVAL_TPU_NO_COMPILE_CACHE=1.
+"""
+
+from __future__ import annotations
+
+import os
+
+_done = False
+
+
+def enable_persistent_cache(path: str | None = None) -> None:
+    global _done
+    if _done or os.environ.get("SSR_EVAL_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    path = path or os.path.join(os.path.expanduser("~"), ".cache", "ssr_eval_tpu", "xla")
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    _done = True

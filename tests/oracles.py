@@ -21,10 +21,16 @@ def hann(n):
     return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
 
 
-def stft_np(y, n_fft, hop, win_length=None, center=True, pad_mode="reflect"):
-    """-> complex [n_bins, n_frames] (librosa layout)."""
+def stft_np(y, n_fft, hop, win_length=None, center=True, pad_mode="reflect", dtype=None):
+    """-> complex [n_bins, n_frames] (librosa layout).
+
+    dtype=np.float32 keeps the whole transform in single precision
+    (librosa's behavior on float32 audio); default float64."""
     win_length = win_length or n_fft
     w = hann(win_length)
+    if dtype is not None:
+        w = w.astype(dtype)
+        y = np.asarray(y, dtype=dtype)
     if win_length < n_fft:
         lpad = (n_fft - win_length) // 2
         w = np.pad(w, (lpad, n_fft - win_length - lpad))
@@ -35,14 +41,18 @@ def stft_np(y, n_fft, hop, win_length=None, center=True, pad_mode="reflect"):
     return np.fft.rfft(frames * w, axis=-1).T
 
 
-def istft_np(Z, n_fft, hop, length=None, center=True):
+def istft_np(Z, n_fft, hop, length=None, center=True, dtype=None):
     """Z: complex [n_bins, n_frames] -> time signal (librosa layout)."""
     w = hann(n_fft)
+    if dtype is not None:
+        w = w.astype(dtype)
     frames = np.fft.irfft(Z.T, n=n_fft, axis=-1) * w
+    if dtype is not None:
+        frames = frames.astype(dtype)
     n_frames = frames.shape[0]
     total = hop * (n_frames - 1) + n_fft
-    out = np.zeros(total)
-    wss = np.zeros(total)
+    out = np.zeros(total, dtype=frames.dtype)
+    wss = np.zeros(total, dtype=w.dtype)
     for i in range(n_frames):
         out[i * hop : i * hop + n_fft] += frames[i]
         wss[i * hop : i * hop + n_fft] += w * w
