@@ -1,0 +1,114 @@
+"""Pallas TPU kernel: fused window + DFT-matmul + magnitude.
+
+The metric/degradation spectrogram is the hottest op in the pipeline
+(SURVEY §3.5: 3+ STFTs per (file, setting) pair).  The XLA path computes
+real and imag DFT matmuls as separate HBM-resident intermediates before
+the magnitude; this kernel fuses the whole transform per tile:
+
+    grid (frame_tiles, freq_tiles):
+      out[ft, fq] <- | (frames[ft] * window) @ Wr[:, fq] ,
+                      (frames[ft] * window) @ Wi[:, fq] |     (MXU)
+
+so real/imag never round-trip through HBM and the window multiply fuses
+into the matmul operand load.  The DFT-as-matmul form rides the MXU for
+any n_fft (incl. non-power-of-2 metric sizes like 2229 @48 kHz) with f32
+HIGHEST accumulation; frequency tiles stream the DFT matrices through
+VMEM in FREQ_TILE columns.
+
+Framing itself (the hop-strided gather from the reflect-extended signal)
+stays an XLA gather: Mosaic requires lane-aligned vector loads and
+1024-tiled DMA offsets, and a 441-sample hop satisfies neither — an
+in-kernel DMA framing variant is future work.
+
+Correctness is tested in interpreter mode on CPU; the same kernel
+compiles natively on TPU (enabled by default there, see
+dsp.spectral._pallas_stft_enabled).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FRAME_TILE = 128
+FREQ_TILE = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=16)
+def _padded_dft(n_fft: int, n_bins_pad: int):
+    """Real/imag rDFT matrices zero-padded to a lane-aligned bin count."""
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * n * k / n_fft
+    wr = np.zeros((n_fft, n_bins_pad), np.float32)
+    wi = np.zeros((n_fft, n_bins_pad), np.float32)
+    wr[:, : k.shape[1]] = np.cos(ang)
+    wi[:, : k.shape[1]] = np.sin(ang)
+    return wr, wi
+
+
+def _kernel(frames_ref, win_ref, wr_ref, wi_ref, out_ref):
+    fr = frames_ref[:] * win_ref[:]
+    real = jnp.dot(
+        fr, wr_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    imag = jnp.dot(
+        fr, wi_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out_ref[:] = jnp.sqrt(real * real + imag * imag)
+
+
+def fused_stft_magnitude(
+    ext: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    max_frames: int,
+    window: np.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """|STFT| of an already reflect-extended signal [Lext].
+
+    Frames beyond `max_frames` are garbage and the caller's to mask (same
+    contract as dsp.spectral.stft_real_imag).
+    Returns [max_frames, n_bins], n_bins = n_fft//2 + 1.
+    """
+    n_bins = n_fft // 2 + 1
+    n_bins_pad = _round_up(n_bins, FREQ_TILE)
+    mf_pad = _round_up(max_frames, FRAME_TILE)
+    need = (mf_pad - 1) * hop + n_fft
+    if ext.shape[0] < need:
+        ext = jnp.pad(ext, (0, need - ext.shape[0]))
+
+    starts = jnp.arange(mf_pad, dtype=jnp.int32)[:, None] * hop
+    offs = jnp.arange(n_fft, dtype=jnp.int32)[None, :]
+    frames = ext[starts + offs]  # XLA gather (see module docstring)
+
+    wr, wi = _padded_dft(n_fft, n_bins_pad)
+    out = pl.pallas_call(
+        _kernel,
+        grid=(mf_pad // FRAME_TILE, n_bins_pad // FREQ_TILE),
+        in_specs=[
+            pl.BlockSpec((FRAME_TILE, n_fft), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # window [1, n_fft]
+            pl.BlockSpec((n_fft, FREQ_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, FREQ_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (FRAME_TILE, FREQ_TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mf_pad, n_bins_pad), jnp.float32),
+        interpret=interpret,
+    )(frames, jnp.asarray(window.astype(np.float32)[None, :]), jnp.asarray(wr), jnp.asarray(wi))
+    return out[:max_frames, :n_bins]

@@ -158,11 +158,34 @@ def stft_real_imag(
     return real, imag
 
 
+def _pallas_stft_enabled() -> bool:
+    """Fused Pallas magnitude kernel: on for TPU, overridable via
+    SSR_EVAL_TPU_PALLAS=0/1."""
+    import os
+
+    flag = os.environ.get("SSR_EVAL_TPU_PALLAS")
+    if flag is not None:
+        return flag not in ("0", "false", "")
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def stft_magnitude(
     x: jnp.ndarray, length, cfg: StftConfig, max_frames: int, eps: float = 0.0
 ) -> jnp.ndarray:
     """|STFT| [max_frames, n_bins]; eps matches FDomainHelper.spectrogram's
     clamp (reference dsp.py:72-74) when nonzero."""
+    if cfg.center and cfg.win == cfg.n_fft and _pallas_stft_enabled():
+        from ssr_eval_tpu.dsp.pallas_stft import fused_stft_magnitude
+
+        ext = _extend(x, length, cfg.pad)
+        mag = fused_stft_magnitude(
+            ext, cfg.n_fft, cfg.hop, max_frames, hann_window(cfg.win)
+        )
+        if eps:
+            mag = jnp.sqrt(jnp.maximum(mag * mag, eps))
+        return mag
     real, imag = stft_real_imag(x, length, cfg, max_frames)
     power = real * real + imag * imag
     if eps:
