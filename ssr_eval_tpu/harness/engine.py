@@ -39,8 +39,9 @@ from ssr_eval_tpu.utils.jaxcache import enable_persistent_cache
 from ssr_eval_tpu.dsp.resample import apply_resample, resample_poly_plan
 from ssr_eval_tpu.io.audio import decode_audio
 from ssr_eval_tpu.metrics.kernels import metric_stft_config, spectral_metrics
-from ssr_eval_tpu.parallel.mesh import batch_sharding, replicated
+from ssr_eval_tpu.parallel.mesh import batch_sharding
 from ssr_eval_tpu.utils.bucket import bucket_length
+from ssr_eval_tpu.utils.profiling import StageTimers, device_trace
 
 METRIC_KEYS = ("lsd", "log_sispec", "sispec", "ssim")
 
@@ -58,6 +59,8 @@ class EvalEngine:
         save_processed_result=False,
         test_name="test",
         io_workers=8,
+        profile_dir=None,
+        journal=None,
     ):
         self.specs = list(specs)
         self.input_sr = int(input_sr)
@@ -69,6 +72,9 @@ class EvalEngine:
         self.save_processed_result = save_processed_result
         self.test_name = test_name
         self.io_workers = io_workers
+        self.profile_dir = profile_dir
+        self.journal = journal
+        self.stats = StageTimers()
         enable_persistent_cache()
         self._compiled = {}
         self.device_testee = bool(getattr(testee, "jittable", False)) and hasattr(
@@ -221,8 +227,9 @@ class EvalEngine:
                 x = x.mean(axis=1)
             return x.astype(np.float32), int(sr)
 
-        with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
-            return list(ex.map(one, paths))
+        with self.stats.stage("decode"):
+            with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
+                return list(ex.map(one, paths))
 
     def _make_batches(self, items):
         """Group (idx, audio, sr) by (sr, bucket), chunk to batch_size."""
@@ -251,6 +258,11 @@ class EvalEngine:
         mp3_specs = [s for s in self.specs if s.family == "mp3"]
 
         pending = []  # async-dispatched device work, converted after the loop
+        import time as _time
+
+        trace_cm = device_trace(self.profile_dir)
+        trace_cm.__enter__()
+        _t_dispatch = _time.perf_counter()
         for (sr, b), idxs, xb, lens in self._make_batches(enumerate(decoded)):
             if self.mesh is not None:
                 sh = batch_sharding(self.mesh)
@@ -302,7 +314,11 @@ class EvalEngine:
                         n_real,
                     )
 
+        self.stats.seconds["dispatch"] += _time.perf_counter() - _t_dispatch
+        trace_cm.__exit__(None, None, None)
+
         # Drain the async queue: one bulk transfer per [S, B] result block.
+        _t_drain = _time.perf_counter()
         for idxs, gspecs, (metrics, ye, ne), n_real in pending:
             m_h = {k: np.asarray(metrics[k]) for k in METRIC_KEYS}
             ye_h = np.asarray(ye) if self.save_processed_result else None
@@ -319,6 +335,9 @@ class EvalEngine:
                     ne_h[si] if ne_h is not None else None,
                     n_real,
                 )
+
+        self.stats.seconds["drain"] += _time.perf_counter() - _t_drain
+        self.stats.add_utterances(len(paths))
 
         # Re-order each file's keys to spec order (mp3 interleaves by family).
         order = [s.key for s in self.specs]
@@ -383,6 +402,8 @@ class EvalEngine:
             if extras:
                 entry.update(extras[j])
             results[p][spec.key] = entry
+            if self.journal is not None:
+                self.journal.record(p, spec.key, entry)
             if save:
                 from ssr_eval_tpu.io.audio import write_wav
 

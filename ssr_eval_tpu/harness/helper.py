@@ -148,11 +148,23 @@ class SSR_Eval_Helper:
                 ret.append(file)
         return ret
 
-    def evaluate(self, limit_test_nums=-1, limit_test_speaker=-1):
+    def evaluate(self, limit_test_nums=-1, limit_test_speaker=-1, resume=False, verbose=True):
+        """Run the sweep.  Reference-compatible signature plus:
+
+        resume: skip files whose every spec key already exists in the
+            incremental journal `results/<test_name>.partial.jsonl`
+            (written as batches complete — a crashed sweep loses at most
+            one batch, unlike the reference which loses everything,
+            eval.py:219-226).
+        verbose: per-speaker progress + a throughput summary (SURVEY §5).
+        """
+        from ssr_eval_tpu.harness.resume import ResultJournal, load_partial
+
         final_result = {}
         result_cache = {}
         averaged_result = {}
         os.makedirs("results", exist_ok=True)
+        journal_path = os.path.join("results", f"{self.test_name}.partial.jsonl")
 
         speaker_files = {}
         for speaker in sorted(os.listdir(self.test_data_root)):
@@ -175,12 +187,35 @@ class SSR_Eval_Helper:
         # One engine pass over every selected file — the whole sweep is
         # batched/sharded instead of the reference's nested loops.
         all_paths = [p for fs in speaker_files.values() for p in fs]
-        per_file = self.engine.evaluate_files(all_paths)
+        expected_keys = {s.key for s in self.specs}
+        partial = load_partial(journal_path) if resume else {}
+        done = {
+            p
+            for p in all_paths
+            if expected_keys and expected_keys.issubset(partial.get(p, {}).keys())
+        }
+        todo = [p for p in all_paths if p not in done]
+        if verbose:
+            for speaker in speaker_files:
+                print("Speaker:", speaker)
+            if done:
+                print(f"[resume] {len(done)}/{len(all_paths)} files already scored")
+
+        self.engine.journal = ResultJournal(journal_path)
+        try:
+            per_file = self.engine.evaluate_files(todo) if todo else {}
+        finally:
+            self.engine.journal.close()
+            self.engine.journal = None
+        for p in done:
+            per_file[p] = {k: partial[p][k] for k in [s.key for s in self.specs]}
 
         for speaker, paths in speaker_files.items():
             final_result[speaker] = {
                 os.path.basename(p): per_file[p] for p in paths
             }
+        if verbose:
+            print("[stats]", self.engine.stats.summary())
 
         distortion_type = []
         for speaker in final_result.keys():

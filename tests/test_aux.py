@@ -1,0 +1,110 @@
+"""Auxiliary subsystems: incremental results + resume, stage timers,
+checkpoint round-trip (SURVEY §5 gaps the reference lacks)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+import ssr_eval_tpu
+from ssr_eval_tpu.harness.fixtures import ensure_synthetic_vctk
+from ssr_eval_tpu.harness.resume import ResultJournal, load_partial
+from ssr_eval_tpu.harness.testee import BasicTestee
+from ssr_eval_tpu.models.checkpoint import restore_variables, save_variables
+
+
+@pytest.fixture(scope="module")
+def vctk_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data") / "vctk_test"
+    ensure_synthetic_vctk(str(root), files_per_speaker=1)
+    return str(root)
+
+
+def test_journal_roundtrip(tmp_path):
+    p = str(tmp_path / "j.jsonl")
+    j = ResultJournal(p)
+    j.record("/a.flac", "proc_fft_8000_44100", {"lsd": 1.0})
+    j.record("/b.flac", "proc_fft_8000_44100", {"lsd": 2.0})
+    j.close()
+    # torn final line must be tolerated
+    with open(p, "a") as f:
+        f.write('{"path": "/c.flac", "key": "pro')
+    got = load_partial(p)
+    assert got["/a.flac"]["proc_fft_8000_44100"]["lsd"] == 1.0
+    assert "/c.flac" not in got
+
+
+def test_evaluate_writes_journal_and_resumes(vctk_root, tmp_path):
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        kwargs = dict(
+            input_sr=44100,
+            output_sr=44100,
+            evaluation_sr=44100,
+            test_data_root=vctk_root,
+            setting_fft={"cutoff_freq": [4000]},
+            auto_download=False,
+            test_name="resume_t",
+        )
+        h = ssr_eval_tpu.SSR_Eval_Helper(BasicTestee(), **kwargs)
+        r1 = h.evaluate(limit_test_nums=1, limit_test_speaker=2, verbose=False)
+        jpath = os.path.join("results", "resume_t.partial.jsonl")
+        assert os.path.exists(jpath)
+        partial = load_partial(jpath)
+        assert len(partial) == 2
+        # resume: second helper skips everything, results identical
+        h2 = ssr_eval_tpu.SSR_Eval_Helper(BasicTestee(), **kwargs)
+        r2 = h2.evaluate(limit_test_nums=1, limit_test_speaker=2, resume=True, verbose=False)
+        assert h2.engine.stats.utterances == 0  # nothing re-evaluated
+        for spk in r1:
+            if spk in ("each_speaker", "averaged"):
+                continue
+            for f in r1[spk]:
+                assert (
+                    r1[spk][f]["proc_fft_8000_44100"]["lsd"]
+                    == r2[spk][f]["proc_fft_8000_44100"]["lsd"]
+                )
+    finally:
+        os.chdir(cwd)
+
+
+def test_stats_summary(vctk_root, tmp_path):
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        h = ssr_eval_tpu.SSR_Eval_Helper(
+            BasicTestee(),
+            input_sr=44100,
+            output_sr=44100,
+            evaluation_sr=44100,
+            test_data_root=vctk_root,
+            setting_fft={"cutoff_freq": [4000]},
+            auto_download=False,
+            test_name="stats_t",
+        )
+        h.evaluate(limit_test_nums=1, limit_test_speaker=1, verbose=False)
+    finally:
+        os.chdir(cwd)
+    s = h.engine.stats.summary()
+    assert s["utterances"] == 1
+    assert s["utterances_per_s"] > 0
+    assert "decode" in s["stages"]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from ssr_eval_tpu.models.nvsr import Generator
+
+    import jax.numpy as jnp
+
+    model = Generator(model_name="dnn")
+    mel = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (1, 16, 128))) + 1e-3
+    variables = model.init(jax.random.PRNGKey(1), mel, train=False)
+    p = save_variables(str(tmp_path / "ckpt"), variables)
+    restored = restore_variables(p)
+    out1 = model.apply(variables, mel, train=False)["mel"]
+    out2 = model.apply(jax.tree_util.tree_map(lambda x: x, restored), mel, train=False)["mel"]
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
