@@ -78,8 +78,11 @@ def test_smoke_run_schema(smoke_result):
     assert "each_speaker" in result and "averaged" in result
     assert "proc_fft_24000_44100" in result["averaged"]
     # a results/<timestamp>-unprocessed.json was written
-    files = os.listdir(os.path.join(wd, "results"))
-    assert any(f.endswith("-unprocessed.json") for f in files)
+    files = [
+        f for f in os.listdir(os.path.join(wd, "results"))
+        if f.endswith("-unprocessed.json")
+    ]
+    assert files  # the timestamped JSON (the journal .jsonl sits alongside)
     with open(os.path.join(wd, "results", files[0])) as f:
         j = json.load(f)
     assert j["averaged"].keys() == result["averaged"].keys()
