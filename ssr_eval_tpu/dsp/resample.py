@@ -36,9 +36,15 @@ class ResamplePlan(NamedTuple):
     up: int                  # reduced upsample factor
     down: int                # reduced downsample factor
     J: int                   # taps per phase
-    S: int                   # gather window per block = down + J - 1
-    n_pre_remove: int        # upfirdn outputs to drop from the head
+    S: int                   # gather window per block
+    n_pre_remove: int        # leading outputs to drop (upfirdn alignment)
     Wd: np.ndarray           # [up, S] dense phase-filter matrix (f32)
+    left: int = -1           # window start offset: XW[b, s] = x[b*down + s - left]
+                             # (-1 -> the scipy-plan default J - 1)
+
+    @property
+    def left_ext(self) -> int:
+        return self.J - 1 if self.left < 0 else self.left
 
     def out_length(self, in_length):
         """ceil(L * up / down) — works for int or traced lengths."""
@@ -93,6 +99,55 @@ def resample_poly_plan(sr_in: int, sr_out: int, max_len: int) -> ResamplePlan:
     return ResamplePlan(up, down, J, S, n_pre_remove, Wd.astype(np.float32))
 
 
+@functools.lru_cache(maxsize=64)
+def windowed_sinc_plan(
+    sr_in: int,
+    sr_out: int,
+    max_len: int,
+    num_zeros: int = 64,
+    beta: float = 14.769656459379492,
+    rolloff: float = 0.9475937167399596,
+) -> ResamplePlan:
+    """High-quality windowed-sinc resampler (librosa/resampy
+    'kaiser_best'-parameterized: 64 zero crossings, Kaiser beta 14.77,
+    rolloff 0.9476; see PARITY.md deviation 1).
+
+    Unlike resampy's table-lookup + linear interpolation, rational rates
+    let every phase's taps be evaluated at their *exact* sinc positions,
+    so this is the filter resampy approximates.  Each output phase
+    becomes a row of the dense polyphase matrix:
+
+        y[b*up + p] = sum_d  h(d - frac_p) * x[off_p + b*down + d]
+
+    with h(t) = scale * rolloff * sinc(rolloff*scale*t) * kaiser(scale*t/N).
+    """
+    from scipy.special import i0 as _i0
+
+    g = math.gcd(sr_in, sr_out)
+    up, down = sr_out // g, sr_in // g
+    if up == down:
+        return ResamplePlan(1, 1, 1, 1, 0, np.ones((1, 1), np.float32), 0)
+    scale = min(1.0, up / down)
+    half = int(np.ceil(num_zeros / scale)) + 1
+    left = half
+    S = down + 2 * half + 1
+    Wd = np.zeros((up, S), dtype=np.float64)
+    d = np.arange(-half, half + 1, dtype=np.float64)
+    for p in range(up):
+        t_p = p * down / up
+        off_p = int(np.floor(t_p))
+        frac = t_p - off_p
+        tau = (d - frac) * scale
+        u = tau / num_zeros
+        win = np.where(np.abs(u) <= 1.0, _i0(beta * np.sqrt(np.clip(1 - u * u, 0, 1))) / _i0(beta), 0.0)
+        h = scale * rolloff * np.sinc(rolloff * tau) * win
+        s = off_p + d.astype(np.int64) + left
+        valid = (s >= 0) & (s < S)
+        Wd[p, s[valid]] = h[valid]
+    J = 2 * half + 1
+    return ResamplePlan(up, down, J, S, 0, Wd.astype(np.float32), left)
+
+
 def apply_resample(x: jnp.ndarray, length, plan: ResamplePlan, out_len: int, Wd: jnp.ndarray):
     """Resample one buffered signal.
 
@@ -106,11 +161,11 @@ def apply_resample(x: jnp.ndarray, length, plan: ResamplePlan, out_len: int, Wd:
         return out, length
 
     up, down, J, S = plan.up, plan.down, plan.J, plan.S
-    n_k = plan.n_pre_remove + out_len          # upfirdn outputs needed
+    n_k = plan.n_pre_remove + out_len          # outputs needed
     n_blocks = -(-n_k // up)
 
-    # Window gather: XW[b, s] = x[b*down + s - (J-1)]
-    left = J - 1
+    # Window gather: XW[b, s] = x[b*down + s - left]
+    left = plan.left_ext
     need = (n_blocks - 1) * down + S - left    # rightmost x index + 1
     pad_right = max(0, need - x.shape[0])
     xp = jnp.pad(x, (left, pad_right))

@@ -61,6 +61,7 @@ class EvalEngine:
         io_workers=8,
         profile_dir=None,
         journal=None,
+        input_res_type="polyphase",
     ):
         self.specs = list(specs)
         self.input_sr = int(input_sr)
@@ -72,6 +73,7 @@ class EvalEngine:
         self.save_processed_result = save_processed_result
         self.test_name = test_name
         self.io_workers = io_workers
+        self.input_res_type = input_res_type
         self.profile_dir = profile_dir
         self.journal = journal
         self.stats = StageTimers()
@@ -85,12 +87,22 @@ class EvalEngine:
     # Compiled pipeline builders
     # ------------------------------------------------------------------
 
+    def _input_plan(self, native_sr: int, lnat: int):
+        """native -> model_input_sr plan; 'kaiser_best' selects the
+        windowed-sinc bank (librosa.load parity, PARITY.md deviation 1),
+        'polyphase' the scipy resample_poly design."""
+        from ssr_eval_tpu.dsp.resample import windowed_sinc_plan
+
+        if self.input_res_type == "kaiser_best":
+            return windowed_sinc_plan(native_sr, self.input_sr, lnat)
+        return resample_poly_plan(native_sr, self.input_sr, lnat)
+
     def _prep_fn(self, native_sr: int, lnat: int):
         """(x_nat [B,Lnat], len_nat) -> x_in, len_in, gt, len_gt."""
         key = ("prep", native_sr, lnat)
         if key in self._compiled:
             return self._compiled[key]
-        in_plan = resample_poly_plan(native_sr, self.input_sr, lnat)
+        in_plan = self._input_plan(native_sr, lnat)
         lin = int(in_plan.out_length(lnat))
         gt_plan = resample_poly_plan(native_sr, self.evaluation_sr, lnat)
         lgt = int(gt_plan.out_length(lnat))
@@ -152,7 +164,7 @@ class EvalEngine:
         fkey = family_key(spec)
         key = ("fused", fkey, native_sr, lnat)
         if key not in self._compiled:
-            in_plan = resample_poly_plan(native_sr, self.input_sr, lnat)
+            in_plan = self._input_plan(native_sr, lnat)
             lin = int(in_plan.out_length(lnat))
             gt_plan = resample_poly_plan(native_sr, self.evaluation_sr, lnat)
             lgt = int(gt_plan.out_length(lnat))
@@ -209,7 +221,7 @@ class EvalEngine:
     def _fused_call(self, specs, native_sr, lnat, xj, lj):
         """Run all `specs` (one family) in a single stacked device call."""
         fn = self._fused_fn(specs[0], native_sr, lnat)
-        lin = int(resample_poly_plan(native_sr, self.input_sr, lnat).out_length(lnat))
+        lin = int(self._input_plan(native_sr, lnat).out_length(lnat))
         plist = [spec_params(s, lin) for s in specs]
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *plist)
         return fn(xj, lj, stacked)  # leaves shaped [S, B, ...]

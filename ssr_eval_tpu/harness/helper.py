@@ -45,6 +45,7 @@ class SSR_Eval_Helper:
         mesh=None,
         batch_size=4,
         auto_download=True,
+        input_res_type="polyphase",
     ):
         self.testee = testee
         self.test_name = test_name
@@ -89,6 +90,7 @@ class SSR_Eval_Helper:
             mesh=mesh,
             save_processed_result=save_processed_result,
             test_name=test_name,
+            input_res_type=input_res_type,
         )
 
     # ------------------------------------------------------------------

@@ -154,18 +154,33 @@ def decode_audio(path):
     raise ValueError(f"{path}: unsupported audio container (magic {magic!r})")
 
 
-def load(path, sr=None, mono=True):
+def load(path, sr=None, mono=True, res_type="polyphase"):
     """librosa.load-compatible decode (mono mixdown, optional resample).
 
-    Resampling uses the Kaiser polyphase design shared with the device
-    kernel (scipy.resample_poly), not resampy — see PARITY.md.
-    Returns (float32 [n], sample_rate).
+    res_type: 'polyphase' (scipy resample_poly design) or 'kaiser_best'
+    (the resampy-parameterized windowed-sinc bank librosa.load defaults
+    to — see PARITY.md deviation 1).  Returns (float32 [n], sample_rate).
     """
     x, native_sr = decode_audio(path)
     if mono and x.ndim > 1:
         x = x.mean(axis=1)
     if sr is None or sr == native_sr:
         return x.astype(np.float32), native_sr
+    if res_type == "kaiser_best":
+        from ssr_eval_tpu.dsp.resample import windowed_sinc_plan
+
+        plan = windowed_sinc_plan(int(native_sr), int(sr), len(x))
+        n_out = int(plan.out_length(len(x)))
+        # host apply: dense polyphase matmul in float64
+        left = plan.left_ext
+        n_blocks = -(-n_out // plan.up)
+        need = (n_blocks - 1) * plan.down + plan.S - left
+        xp = np.pad(x.astype(np.float64), (left, max(0, need - len(x))))
+        idx = (
+            np.arange(n_blocks)[:, None] * plan.down + np.arange(plan.S)[None, :]
+        )
+        y = (xp[idx] @ plan.Wd.astype(np.float64).T).reshape(-1)[:n_out]
+        return y.astype(np.float32), sr
     import math
 
     g = math.gcd(int(native_sr), int(sr))

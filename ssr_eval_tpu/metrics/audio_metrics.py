@@ -52,8 +52,12 @@ def _compiled_kernel(rate: int, lmax: int):
 
 
 class AudioMetrics:
-    def __init__(self, rate):
+    def __init__(self, rate, precision="float32"):
+        """precision: 'float32' (jitted device kernels, the throughput
+        path) or 'float64' (host NumPy, exact-precision cross-check —
+        PARITY.md deviation 4)."""
         self.rate = int(rate)
+        self.precision = precision
         # Kept as public attributes for reference parity (metrics.py:17-19).
         self.hop_length = int(rate / 100)
         self.n_fft = int(2048 / (44100 / rate))
@@ -75,6 +79,30 @@ class AudioMetrics:
         sp = stft_magnitude(jnp.asarray(wav), len(wav), cfg, mf)
         return np.asarray(sp)[None, None, ...]
 
+    def center_crop(self, x, y):
+        """Center-crop the longer of two [., ., T, F] spectrogram arrays to
+        the shorter's time length (reference metrics.py:32-49; unused by
+        the pipeline but part of the public surface).  Accepts numpy."""
+        x = np.asarray(x)
+        y = np.asarray(y)
+        dim = 2
+        if x.shape[dim] == y.shape[dim]:
+            return x, y
+        if x.shape[dim] > y.shape[dim]:
+            offset = x.shape[dim] - y.shape[dim]
+            start = offset // 2
+            end = offset - start
+            x = x[:, :, start:-end, :]
+        else:
+            offset = y.shape[dim] - x.shape[dim]
+            start = offset // 2
+            end = offset - start
+            y = y[:, :, start:-end, :]
+        assert offset < 10, (
+            "Error: the offset %s is too large, check the code please" % (offset)
+        )
+        return x, y
+
     def evaluation(self, est, target, file=None):
         if type(est) != type(target) and not (
             isinstance(est, np.ndarray) and isinstance(target, np.ndarray)
@@ -95,6 +123,11 @@ class AudioMetrics:
             "Error: Shape mismatch between target and estimation "
             f"{target_wav.shape} and {est_wav.shape}"
         )
+
+        if self.precision == "float64":
+            from ssr_eval_tpu.metrics.host_reference import evaluate_f64
+
+            return evaluate_f64(est_wav, target_wav, self.rate)
 
         lmax = _bucket_len(max(est_wav.shape[0], target_wav.shape[0]))
         eb = np.zeros(lmax, dtype=np.float32)

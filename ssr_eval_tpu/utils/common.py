@@ -55,6 +55,43 @@ def load_json(fname):
         return json.load(f)
 
 
+def get_framesLength(fname):
+    """Frame count from a WAV header (reference utils.py:12-15)."""
+    import wave
+
+    with wave.open(fname) as f:
+        return f.getparams()[3]
+
+
+def get_sample_rate(fname):
+    """Sample rate from a WAV header (reference utils.py:37-40)."""
+    import wave
+
+    with wave.open(fname) as f:
+        return f.getparams()[2]
+
+
+def pow_p_norm(signal):
+    """Squared L2 norm over all dims >= 1, keepdims (reference utils.py:68-76)."""
+    xp = _xp(signal)
+    axes = tuple(range(1, signal.ndim))
+    return xp.sum(signal * signal, axis=axes, keepdims=True)
+
+
+def pow_norm(s1, s2):
+    """Inner product over dims >= 2, keepdims (reference utils.py:85-92)."""
+    xp = _xp(s1)
+    axes = tuple(range(2, s1.ndim))
+    return xp.sum(s1 * s2, axis=axes, keepdims=True)
+
+
+def energy_unify(estimated, original):
+    """Rescale `original` onto `estimated`'s energy (reference utils.py:79-82)."""
+    target = pow_norm(estimated, original) * original
+    target = target / (pow_p_norm(original) + EPS)
+    return estimated, target
+
+
 def write_list(items, fname):
     with open(fname, "w") as f:
         for it in items:

@@ -237,3 +237,31 @@ def test_postprocessing_splice(vctk_root):
     low_err_out = np.abs(Z_out[: cut - 2] - Z_gt[: cut - 2]).mean()
     low_err_noisy = np.abs(Z_noisy[: cut - 2] - Z_gt[: cut - 2]).mean()
     assert low_err_out < 0.25 * low_err_noisy
+
+
+def test_kaiser_best_input_path(vctk_root, tmp_path):
+    """input_res_type='kaiser_best' (librosa.load parity) runs end-to-end
+    and lands near the polyphase default (both are ~transparent filters)."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        kwargs = dict(
+            input_sr=44100,
+            output_sr=44100,
+            evaluation_sr=44100,
+            test_data_root=vctk_root,
+            setting_fft={"cutoff_freq": [8000]},
+            auto_download=False,
+        )
+        r_poly = ssr_eval_tpu.SSR_Eval_Helper(
+            BasicTestee(), test_name="poly", **kwargs
+        ).evaluate(limit_test_nums=1, limit_test_speaker=1, verbose=False)
+        r_kb = ssr_eval_tpu.SSR_Eval_Helper(
+            BasicTestee(), test_name="kb", input_res_type="kaiser_best", **kwargs
+        ).evaluate(limit_test_nums=1, limit_test_speaker=1, verbose=False)
+    finally:
+        os.chdir(cwd)
+    a = r_poly["averaged"]["proc_fft_16000_44100"]
+    b = r_kb["averaged"]["proc_fft_16000_44100"]
+    assert abs(a["ssim"] - b["ssim"]) < 0.02
+    assert abs(a["lsd"] - b["lsd"]) < 0.5

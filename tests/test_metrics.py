@@ -104,3 +104,26 @@ def test_identity_pair_limits():
     assert got["lsd"] < 1e-3
     assert got["ssim"] > 0.999
     assert got["sispec"] > 100.0
+
+
+def test_float64_host_mode_matches_oracle():
+    """AudioMetrics(precision='float64') reproduces the float64 oracle
+    bit-for-bit-ish (same formulas, vectorized)."""
+    est, tgt = _pair(25000, seed=9)
+    am = AudioMetrics(44100, precision="float64")
+    got = am.evaluation(est, tgt, None)
+    ref = _oracle(est, tgt, 44100)
+    for k in ("lsd", "ssim"):
+        assert abs(got[k] - ref[k]) < 1e-9, (k, got[k], ref[k])
+    for k in ("sispec", "log_sispec"):
+        assert abs(got[k] - ref[k]) < 1e-6, k
+
+
+def test_center_crop_parity():
+    am = AudioMetrics(44100)
+    x = np.zeros((1, 1, 20, 8))
+    y = np.zeros((1, 1, 17, 8))
+    cx, cy = am.center_crop(x, y)
+    assert cx.shape == (1, 1, 17, 8) and cy.shape == (1, 1, 17, 8)
+    with pytest.raises(AssertionError):
+        am.center_crop(np.zeros((1, 1, 40, 8)), np.zeros((1, 1, 20, 8)))
