@@ -134,6 +134,11 @@ class NVSR(nn.Module):
         """Denoised log-mel [B, T, M] -> waveform [B, T*hop]."""
         return self.vocoder(from_log(log_mel))
 
+    def init_all(self, mel_orig, train: bool = False):
+        """Trace both generator and vocoder so `init` creates every param."""
+        out = self.generator(mel_orig, train)
+        return self.vocoder(from_log(out["mel"]))
+
 
 def trim_center(est, ref_len):
     """Center-trim est [..., L] to ref_len (reference main.py:22-35).

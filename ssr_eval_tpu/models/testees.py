@@ -93,8 +93,8 @@ class NVSRTestee(BatchedTestee):
 
     def _random_init(self, seed):
         rng = jax.random.PRNGKey(seed)
-        mel = jnp.zeros((1, 128, 128), jnp.float32)
-        return self.model.init(rng, mel, train=False)
+        mel = jnp.abs(jax.random.normal(rng, (1, 128, 128))) + 1e-3
+        return self.model.init(rng, mel, train=False, method=NVSR.init_all)
 
     def load_checkpoint(self, path):
         """Convert a torch NVSR state dict (the reference's Zenodo ckpt,

@@ -19,8 +19,15 @@ def enable_persistent_cache(path: str | None = None) -> None:
         return
     import jax
 
-    path = path or os.path.join(os.path.expanduser("~"), ".cache", "ssr_eval_tpu", "xla")
     try:
+        # TPU-only: the tunnel's remote compiles are what cost ~30 s.  CPU
+        # programs compile fast AND cached CPU AOT artifacts may carry
+        # machine features the current host lacks (SIGILL risk observed
+        # with cross-process cache reuse on this fleet).
+        if jax.default_backend() != "tpu":
+            _done = True
+            return
+        path = path or os.path.join(os.path.expanduser("~"), ".cache", "ssr_eval_tpu", "xla")
         if jax.config.jax_compilation_cache_dir is None:
             os.makedirs(path, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", path)

@@ -111,3 +111,30 @@ def test_sharded_train_step_dp_tp():
     # and one more step runs from the new state
     _, loss2 = tr.step(new_state, mel_lr, mel_hr)
     assert np.isfinite(float(loss2))
+
+
+def test_nvsr_testee_through_engine(tmp_path):
+    """NVSR device testee (random weights) through the full fused engine
+    pipeline on tiny synthetic utterances."""
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.fixtures import speechlike
+    from ssr_eval_tpu.io.audio import write_wav
+    from ssr_eval_tpu.models.testees import NVSRTestee
+
+    paths = []
+    for i in range(2):
+        x = speechlike(0.35, 44100, seed=50 + i)
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, x, 44100)
+        paths.append(p)
+
+    testee = NVSRTestee(model_name="dnn", seed=1)
+    specs = expand_settings(setting_fft={"cutoff_freq": [8000]}, sr=44100)
+    eng = EvalEngine(specs, 44100, 44100, 44100, testee, batch_size=2)
+    r = eng.evaluate_files(paths)
+    for p in paths:
+        m = r[p]["proc_fft_8000_44100"]
+        assert np.isfinite(m["lsd"]) and np.isfinite(m["ssim"])
+        # random weights -> bad LSD, but the pipeline must be sane
+        assert 0.0 < m["lsd"] < 50.0

@@ -90,3 +90,30 @@ def test_magnitude():
     ref = np.abs(stft_np(x.astype(np.float64), cfg.n_fft, cfg.hop)).T
     nf = ref.shape[0]
     np.testing.assert_allclose(np.asarray(mag[:nf]), ref, atol=2e-4)
+
+
+def test_fdomain_helper_roundtrip():
+    """FDomainHelper public surface (reference dsp.py API): stft->istft
+    roundtrip through (mag, cos, sin) recovers the signal."""
+    from ssr_eval_tpu.dsp.fdomain import FDomainHelper
+
+    f = FDomainHelper()
+    L = 22050
+    x = _sig(L, seed=8)[None, None, :]  # [B=1, C=1, samples]
+    sps, coss, sins = f.wav_to_spectrogram_phase(x)
+    assert sps.shape[0:2] == (1, 1) and sps.shape[3] == 1025
+    y = f.spectrogram_phase_to_wav(sps, coss, sins, L)
+    assert y.shape == (1, 1, L)
+    np.testing.assert_allclose(y[0, 0, 2048:-2048], x[0, 0, 2048:-2048], atol=1e-3)
+
+
+def test_fdomain_complex_roundtrip():
+    from ssr_eval_tpu.dsp.fdomain import FDomainHelper
+
+    f = FDomainHelper()
+    L = 10000
+    x = _sig(L, seed=9)[None, None, :]
+    cs = f.wav_to_complex_spectrogram(x)
+    assert cs.shape[1] == 2
+    y = f.complex_spectrogram_to_wav(cs, length=L)
+    np.testing.assert_allclose(y[0, 0, 2048:-2048], x[0, 0, 2048:-2048], atol=1e-3)
