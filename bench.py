@@ -26,7 +26,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_UTTS = 32
+N_UTTS = 64
 UTT_SECONDS = 6.0
 SR = 44100
 CUTOFFS = [1000, 2000, 4000, 8000, 12000]  # reference NVSR sweep (main.py:171)
@@ -115,7 +115,7 @@ def main():
     thr = len(paths) / elapsed / n_chips
 
     # Reference-CPU baseline on a subsample, extrapolated per utterance.
-    n_base = 2
+    n_base = 3
     t0 = time.perf_counter()
     oracle = {p: _oracle_eval_one(p, CUTOFFS) for p in paths[:n_base]}
     base_elapsed = (time.perf_counter() - t0) / n_base
@@ -149,6 +149,7 @@ def main():
                     "per_key_dLSD": {k: round(v, 4) for k, v in per_key_dlsd.items()},
                     "n_chips": n_chips,
                     "backend": jax.default_backend(),
+                    "engine_stats": engine.stats.summary(),
                 },
             }
         )

@@ -265,3 +265,31 @@ def test_kaiser_best_input_path(vctk_root, tmp_path):
     b = r_kb["averaged"]["proc_fft_16000_44100"]
     assert abs(a["ssim"] - b["ssim"]) < 0.02
     assert abs(a["lsd"] - b["lsd"]) < 0.5
+
+
+def test_leaderboard_regeneration(vctk_root, tmp_path):
+    """Multi-system leaderboard (BASELINE config #5): identity +
+    low-band-splice systems over a shared fft sweep -> ranked markdown."""
+    from ssr_eval_tpu.harness.leaderboard import run_leaderboard
+
+    class Splice(BasicTestee):
+        def infer(self, x):
+            return self.postprocessing(x, x)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rows, md = run_leaderboard(
+            {"Unprocessed": BasicTestee(), "Identity+Splice": Splice()},
+            test_data_root=vctk_root,
+            cutoffs_khz=[4, 8],
+            limit_test_nums=1,
+            limit_test_speaker=2,
+        )
+    finally:
+        os.chdir(cwd)
+    assert set(rows) == {"Unprocessed", "Identity+Splice"}
+    for row in rows.values():
+        assert set(row) == {4, 8, "AVG"}
+        assert all(np.isfinite(v) for v in row.values())
+    assert md.count("|") > 10 and "AVG" in md
