@@ -110,6 +110,8 @@ class EvalEngine:
         Wg = jnp.asarray(gt_plan.Wd)
 
         def one(x, n):
+            if x.dtype == jnp.int16:
+                x = x.astype(jnp.float32) / 32768.0
             xi, ni = apply_resample(x, n, in_plan, lin, Wi)
             xg, ng = apply_resample(x, n, gt_plan, lgt, Wg)
             return xi, ni, xg, ng
@@ -181,6 +183,9 @@ class EvalEngine:
             from ssr_eval_tpu.metrics.kernels import spectral_metrics_with_target
 
             def pipeline(x_nat, len_nat, params_stacked):
+                if x_nat.dtype == jnp.int16:
+                    x_nat = x_nat.astype(jnp.float32) / 32768.0
+
                 def prep(x, n):
                     xi, ni = apply_resample(x, n, in_plan, lin, Wi)
                     xg, ng = apply_resample(x, n, gt_plan, lgt, Wg)
@@ -206,7 +211,10 @@ class EvalEngine:
                         m = spectral_metrics_with_target(ye, ml, sp, cfg, mf)
                         return m, ye, ne
 
-                    return jax.vmap(score)(y, ny, tgt_sp, min_len)
+                    m, ye, ne = jax.vmap(score)(y, ny, tgt_sp, min_len)
+                    # one [4, B] array per spec -> a single host transfer
+                    # per batch instead of one RPC per metric key
+                    return jnp.stack([m[k] for k in METRIC_KEYS]), ye, ne
 
                 # lax.map (not vmap) over the spec axis: the chain is traced
                 # ONCE and looped on device — vmapping it S-fold multiplies
@@ -224,7 +232,7 @@ class EvalEngine:
         lin = int(self._input_plan(native_sr, lnat).out_length(lnat))
         plist = [spec_params(s, lin) for s in specs]
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *plist)
-        return fn(xj, lj, stacked)  # leaves shaped [S, B, ...]
+        return fn(xj, lj, stacked)  # (metrics [S, 4, B], ye [S,B,L], ne [S,B])
 
     # ------------------------------------------------------------------
     # Host-side orchestration
@@ -260,6 +268,12 @@ class EvalEngine:
                 for j, (_, x) in enumerate(chunk):
                     xb[j, : len(x)] = x
                     lens[j] = len(x)
+                # Lossless int16 wire format halves host->device bytes when
+                # the audio came from 16-bit PCM (VCTK does); the pipeline
+                # rescales on device.  Checked exactly, not assumed.
+                q = np.round(xb * 32768.0)
+                if np.all(np.abs(q) <= 32767) and np.array_equal(q / 32768.0, xb):
+                    xb = q.astype(np.int16)
                 yield (sr, b), [c[0] for c in chunk[:n_real]], xb, lens
 
     def evaluate_files(self, paths):
@@ -329,14 +343,14 @@ class EvalEngine:
         self.stats.seconds["dispatch"] += _time.perf_counter() - _t_dispatch
         trace_cm.__exit__(None, None, None)
 
-        # Drain the async queue: one bulk transfer per [S, B] result block.
+        # Drain the async queue: one bulk transfer per [S, 4, B] block.
         _t_drain = _time.perf_counter()
         for idxs, gspecs, (metrics, ye, ne), n_real in pending:
-            m_h = {k: np.asarray(metrics[k]) for k in METRIC_KEYS}
+            marr = np.asarray(metrics)  # [S, 4, B]
             ye_h = np.asarray(ye) if self.save_processed_result else None
             ne_h = np.asarray(ne) if self.save_processed_result else None
             for si, spec in enumerate(gspecs):
-                m_si = {k: m_h[k][si] for k in METRIC_KEYS}
+                m_si = {k: marr[si, ki] for ki, k in enumerate(METRIC_KEYS)}
                 self._collate(
                     results,
                     paths,
