@@ -15,7 +15,9 @@ from ssr_eval_tpu.dsp.filters import (
     sosfiltfilt,
 )
 from ssr_eval_tpu.dsp.resample import ResamplePlan, apply_resample, resample_poly_plan
+from ssr_eval_tpu.dsp.resample import windowed_sinc_plan
 from ssr_eval_tpu.dsp.correlate import cross_correlate_full
+from ssr_eval_tpu.dsp.fdomain import FDomainHelper
 
 __all__ = [
     "StftConfig",
@@ -31,4 +33,6 @@ __all__ = [
     "resample_poly_plan",
     "apply_resample",
     "cross_correlate_full",
+    "windowed_sinc_plan",
+    "FDomainHelper",
 ]

@@ -108,6 +108,50 @@ class NVSRTrainer:
         data_sh = NamedSharding(self.mesh, P("data"))
         return jax.jit(self._step, in_shardings=(None, data_sh, data_sh))
 
+    def fit(
+        self,
+        audios,
+        steps: int = 100,
+        batch: int = 8,
+        crop_seconds: float = 1.0,
+        seed: int = 0,
+        ckpt_path: str | None = None,
+        ckpt_every: int = 50,
+        log_every: int = 10,
+        cutoffs=(2000, 4000, 8000, 12000),
+    ):
+        """Train the mel generator on HR audio with on-device degradation.
+
+        audios: list of float32 HR waveforms at 44.1 kHz (host).  Returns
+        (state, losses).  Checkpoints via models/checkpoint.py when
+        `ckpt_path` is given.
+        """
+        from ssr_eval_tpu.models.data import MelPairPipeline
+
+        pipe = MelPairPipeline(crop_seconds=crop_seconds, cutoffs=cutoffs)
+        rng = np.random.default_rng(seed)
+        state = self.init_state(jax.random.PRNGKey(seed))
+        losses = []
+        for step in range(steps):
+            wav = pipe.random_crops(audios, rng, batch)
+            mel_lr, mel_hr = pipe.make_pair(wav, spec_idx=step)
+            if self.mesh is not None:
+                sh = NamedSharding(self.mesh, P("data"))
+                mel_lr = jax.device_put(mel_lr, sh)
+                mel_hr = jax.device_put(mel_hr, sh)
+            state, loss = self.step(state, mel_lr, mel_hr)
+            losses.append(float(loss))
+            if log_every and step % log_every == 0:
+                print(f"[train] step {step} loss {losses[-1]:.4f}")
+            if ckpt_path and ckpt_every and (step + 1) % ckpt_every == 0:
+                from ssr_eval_tpu.models.checkpoint import save_variables
+
+                save_variables(
+                    ckpt_path,
+                    {"params": state["params"], "batch_stats": state["batch_stats"]},
+                )
+        return state, losses
+
     def make_batch(self, rng, batch, t_frames=64, n_mels=128):
         k1, k2 = jax.random.split(jax.random.PRNGKey(rng))
         mel_lr = jnp.abs(jax.random.normal(k1, (batch, t_frames, n_mels))) + 1e-3
