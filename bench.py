@@ -138,6 +138,32 @@ def main():
             per_key_dlsd[key] = max(per_key_dlsd.get(key, 0.0), d)
             max_dlsd = max(max_dlsd, d)
 
+    extra = {}
+    if os.environ.get("SSR_BENCH_FULL"):
+        # Extended configs (BASELINE #3): mixed IIR/subsampling matrix.
+        # Gated: their first-run tunnel compiles are several minutes.
+        mixed = expand_settings(
+            setting_lowpass_filtering={
+                "filter": ["cheby", "butter"],
+                "cutoff_freq": [8000, 16000],
+                "filter_order": [8],
+            },
+            setting_subsampling={"cutoff_freq": [8000]},
+            sr=SR,
+        )
+        eng2 = EvalEngine(
+            mixed, input_sr=SR, output_sr=SR, evaluation_sr=SR,
+            testee=BatchedTestee(), batch_size=BATCH,
+        )
+        eng2.evaluate_files(paths[:BATCH])  # warm
+        t0 = time.perf_counter()
+        eng2.evaluate_files(paths)
+        e2 = time.perf_counter() - t0
+        extra["iir_subsampling_matrix"] = {
+            "n_specs": len(mixed),
+            "utt_per_s_per_chip": round(len(paths) / e2 / n_chips, 3),
+        }
+
     print(
         json.dumps(
             {
@@ -155,6 +181,7 @@ def main():
                     "n_chips": n_chips,
                     "backend": jax.default_backend(),
                     "engine_stats": engine.stats.summary(),
+                    **extra,
                 },
             }
         )

@@ -78,12 +78,15 @@ def spec_params(spec: DegradationSpec, max_len: int):
         fft_size = iir_fft_size(max_len)
         h = np.zeros(fft_size, dtype=np.float32)
         h[: plan.h.shape[0]] = plan.h
-        H = np.fft.rfft(h).astype(np.complex64)
+        H = np.fft.rfft(h)
         r = np.zeros(max_len + 2 * EDGE_MAX, dtype=np.float32)
         r[: plan.r.shape[0]] = plan.r
+        # complex64 can't cross host<->device on some TPU runtimes: ship
+        # real/imag separately, assemble on device.
         return {
             "edge": jnp.int32(plan.edge),
-            "H": jnp.asarray(H),
+            "Hr": jnp.asarray(H.real.astype(np.float32)),
+            "Hi": jnp.asarray(H.imag.astype(np.float32)),
             "r": jnp.asarray(r),
         }
     if spec.family == "subsampling":
@@ -119,7 +122,8 @@ def build_family_degrader(key: tuple, max_len: int):
 
         def iir_fn(x, length, params):
             return sosfiltfilt_dynamic(
-                x, length, params["edge"], params["H"], params["r"], fft_size, EDGE_MAX
+                x, length, params["edge"], (params["Hr"], params["Hi"]),
+                params["r"], fft_size, EDGE_MAX,
             )
 
         return iir_fn

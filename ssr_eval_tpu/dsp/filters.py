@@ -33,6 +33,7 @@ from typing import NamedTuple
 import numpy as np
 from scipy import signal as _sps
 
+import jax
 import jax.numpy as jnp
 
 
@@ -142,33 +143,38 @@ def _odd_extend(x: jnp.ndarray, length, edge: int) -> jnp.ndarray:
     return val
 
 
-def _fft_lfilter(ext: jnp.ndarray, x0, H: jnp.ndarray, r: jnp.ndarray, fft_size: int) -> jnp.ndarray:
+def _fft_lfilter(ext: jnp.ndarray, x0, Hr: jnp.ndarray, Hi: jnp.ndarray, r: jnp.ndarray, fft_size: int) -> jnp.ndarray:
     """One causal IIR pass: zero-state FFT convolution + scaled zi response.
 
     ext: [n_ext_buf] input (zero beyond its valid prefix);
-    H:   rfft of the impulse response (precomputed, [fft_size//2+1] complex);
+    Hr/Hi: rfft of the impulse response as separate float32 real/imag
+    (complex arrays cannot cross the host<->device boundary on some TPU
+    runtimes, so complex values are assembled on device);
     r:   [n_ext_buf] unit-zi zero-input response; x0 scales it.
     """
     n = ext.shape[0]
     X = jnp.fft.rfft(ext, n=fft_size)
+    H = jax.lax.complex(Hr, Hi)
     y = jnp.fft.irfft(X * H, n=fft_size)[:n]
     return y + x0 * r
 
 
-def sosfiltfilt(x: jnp.ndarray, length, plan: FiltFiltPlan, H: jnp.ndarray, r: jnp.ndarray):
+def sosfiltfilt(x: jnp.ndarray, length, plan: FiltFiltPlan, H, r: jnp.ndarray):
     """Zero-phase filter one buffered signal; returns [Lmax] (zero beyond L).
 
     x: [Lmax] buffer, true length `length` (traced ok).
-    H, r: device arrays from `plan_device_arrays` (kept as explicit args so
-    they are donatable/shardable rather than baked-in constants).
+    H, r: device arrays from `plan_device_arrays` (H is an (Hr, Hi) float
+    pair; kept as explicit args so they are donatable/shardable rather
+    than baked-in constants).
     """
+    Hr, Hi = H
     Lmax = x.shape[0]
     edge = plan.edge
     n_ext_buf = Lmax + 2 * edge
     n_ext = length + 2 * edge
 
     ext = _odd_extend(x, length, edge)
-    y_f = _fft_lfilter(ext, ext[0], H, r, plan.fft_size)
+    y_f = _fft_lfilter(ext, ext[0], Hr, Hi, r, plan.fft_size)
     # Mask the forward output beyond its valid prefix before reversing.
     valid = jnp.arange(n_ext_buf) < n_ext
     y_f = jnp.where(valid, y_f, 0.0)
@@ -176,7 +182,7 @@ def sosfiltfilt(x: jnp.ndarray, length, plan: FiltFiltPlan, H: jnp.ndarray, r: j
     # Reverse the valid prefix within the static buffer.
     rev_idx = jnp.clip(n_ext - 1 - jnp.arange(n_ext_buf), 0, n_ext_buf - 1)
     z = jnp.where(valid, y_f[rev_idx], 0.0)
-    y_b = _fft_lfilter(z, z[0], H, r, plan.fft_size)
+    y_b = _fft_lfilter(z, z[0], Hr, Hi, r, plan.fft_size)
     y_b = jnp.where(valid, y_b, 0.0)
 
     # Undo the reversal and trim `edge` from both sides:
@@ -204,14 +210,15 @@ def sosfiltfilt_dynamic(x, length, edge, H, r, fft_size: int, edge_max: int):
     n_ext_buf = Lmax + 2 * edge_max
     n_ext = length + 2 * edge
 
+    Hr, Hi = H
     ext = _odd_extend_dynamic(x, length, edge, n_ext_buf)
-    y_f = _fft_lfilter(ext, ext[0], H, r, fft_size)
+    y_f = _fft_lfilter(ext, ext[0], Hr, Hi, r, fft_size)
     valid = jnp.arange(n_ext_buf) < n_ext
     y_f = jnp.where(valid, y_f, 0.0)
 
     rev_idx = jnp.clip(n_ext - 1 - jnp.arange(n_ext_buf), 0, n_ext_buf - 1)
     z = jnp.where(valid, y_f[rev_idx], 0.0)
-    y_b = _fft_lfilter(z, z[0], H, r, fft_size)
+    y_b = _fft_lfilter(z, z[0], Hr, Hi, r, fft_size)
     y_b = jnp.where(valid, y_b, 0.0)
 
     k = jnp.arange(Lmax)
@@ -241,8 +248,11 @@ def _odd_extend_dynamic(x, length, edge, n_ext_buf: int):
 
 
 def plan_device_arrays(plan: FiltFiltPlan):
-    """Device-side constants for a plan: (H = rfft(h), r)."""
+    """Device-side constants for a plan: ((Hr, Hi) = rfft(h), r)."""
     h = np.zeros(plan.fft_size, dtype=np.float32)
     h[: plan.h.shape[0]] = plan.h
     H = np.fft.rfft(h)
-    return jnp.asarray(H.astype(np.complex64)), jnp.asarray(plan.r)
+    return (
+        (jnp.asarray(H.real.astype(np.float32)), jnp.asarray(H.imag.astype(np.float32))),
+        jnp.asarray(plan.r),
+    )

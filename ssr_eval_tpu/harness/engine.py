@@ -26,7 +26,7 @@ over the 'data' axis; padding rows are masked out at collation.
 
 from __future__ import annotations
 
-import functools
+
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
