@@ -62,6 +62,7 @@ class EvalEngine:
         profile_dir=None,
         journal=None,
         input_res_type="polyphase",
+        metrics_backend="device",
     ):
         self.specs = list(specs)
         self.input_sr = int(input_sr)
@@ -74,6 +75,7 @@ class EvalEngine:
         self.test_name = test_name
         self.io_workers = io_workers
         self.input_res_type = input_res_type
+        self.metrics_backend = metrics_backend  # 'device' | 'host_float64'
         self.profile_dir = profile_dir
         self.journal = journal
         self.stats = StageTimers()
@@ -303,11 +305,16 @@ class EvalEngine:
                 groups = {}
                 for spec in device_specs:
                     groups.setdefault(family_key(spec), []).append(spec)
+                gt_pair = None
+                if self.metrics_backend == "host_float64":
+                    prep, _, _ = self._prep_fn(sr, b)
+                    _, _, gtj, ngj = prep(xj, lj)
+                    gt_pair = (gtj, ngj)
                 for fkey, gspecs in groups.items():
                     # JAX dispatch is async: queue every batch's work on the
                     # device before blocking on any transfer.
                     out = self._fused_call(gspecs, sr, b, xj, lj)
-                    pending.append((idxs, gspecs, out, n_real))
+                    pending.append((idxs, gspecs, out, n_real, gt_pair))
             else:
                 prep, lin, lgt = self._prep_fn(sr, b)
                 x_in, n_in, gt, n_gt = prep(xj, lj)
@@ -345,12 +352,22 @@ class EvalEngine:
 
         # Drain the async queue: one bulk transfer per [S, 4, B] block.
         _t_drain = _time.perf_counter()
-        for idxs, gspecs, (metrics, ye, ne), n_real in pending:
+        for idxs, gspecs, (metrics, ye, ne), n_real, gt_pair in pending:
             marr = np.asarray(metrics)  # [S, 4, B]
-            ye_h = np.asarray(ye) if self.save_processed_result else None
-            ne_h = np.asarray(ne) if self.save_processed_result else None
+            want_audio = self.save_processed_result or gt_pair is not None
+            ye_h = np.asarray(ye) if want_audio else None
+            ne_h = np.asarray(ne) if want_audio else None
+            gt_h = ng_h = None
+            if gt_pair is not None:
+                gt_h = np.asarray(gt_pair[0])
+                ng_h = np.asarray(gt_pair[1])
             for si, spec in enumerate(gspecs):
-                m_si = {k: marr[si, ki] for ki, k in enumerate(METRIC_KEYS)}
+                if gt_h is not None:
+                    m_si = self._host64_metrics(
+                        ye_h[si], ne_h[si], gt_h, ng_h, n_real
+                    )
+                else:
+                    m_si = {k: marr[si, ki] for ki, k in enumerate(METRIC_KEYS)}
                 self._collate(
                     results,
                     paths,
@@ -416,6 +433,22 @@ class EvalEngine:
         self._host_infer_and_score(
             results, paths, idxs, spec, d_h, n_in_h, gt, n_gt, n_real
         )
+
+    def _host64_metrics(self, ye_h, ne_h, gt_h, ng_h, n_real):
+        """Exact-precision metric recomputation on host (PARITY.md
+        deviation 4): float64 NumPy over the device-produced est/gt
+        waveforms.  Verification mode — not the throughput path."""
+        from ssr_eval_tpu.metrics.host_reference import evaluate_f64
+
+        B = ye_h.shape[0]
+        vals = {k: np.zeros(B, np.float64) for k in METRIC_KEYS}
+        for j in range(n_real):
+            m = evaluate_f64(
+                ye_h[j, : ne_h[j]], gt_h[j, : ng_h[j]], self.evaluation_sr
+            )
+            for k in METRIC_KEYS:
+                vals[k][j] = m[k]
+        return vals
 
     def _collate(self, results, paths, idxs, spec, metrics, ye, ne, n_real, extras=None):
         vals = {k: np.asarray(metrics[k]) for k in METRIC_KEYS}

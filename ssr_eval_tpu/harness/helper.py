@@ -46,6 +46,7 @@ class SSR_Eval_Helper:
         batch_size=4,
         auto_download=True,
         input_res_type="polyphase",
+        metrics_backend="device",
     ):
         self.testee = testee
         self.test_name = test_name
@@ -91,6 +92,7 @@ class SSR_Eval_Helper:
             save_processed_result=save_processed_result,
             test_name=test_name,
             input_res_type=input_res_type,
+            metrics_backend=metrics_backend,
         )
 
     # ------------------------------------------------------------------

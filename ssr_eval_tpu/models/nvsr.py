@@ -153,3 +153,7 @@ def trim_center(est, ref_len):
     rolled = jnp.take(est, jnp.clip(idx, 0, L - 1), axis=-1)
     mask = jnp.arange(L) < ref_len
     return jnp.where(mask, rolled, 0.0)
+
+
+# Reference-name alias (nvsr_unet.py:18 exposes BN_GRU).
+BN_GRU = BNGRU

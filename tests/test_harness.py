@@ -293,3 +293,33 @@ def test_leaderboard_regeneration(vctk_root, tmp_path):
         assert set(row) == {4, 8, "AVG"}
         assert all(np.isfinite(v) for v in row.values())
     assert md.count("|") > 10 and "AVG" in md
+
+
+def test_host_float64_metrics_backend(vctk_root, tmp_path):
+    """metrics_backend='host_float64' recomputes metrics in exact f64 on
+    the device-produced waveforms; values match the independent oracle to
+    f64 rounding (the <1e-3 BASELINE agreement by construction)."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        r = ssr_eval_tpu.SSR_Eval_Helper(
+            BatchedTestee(),
+            input_sr=44100,
+            output_sr=44100,
+            evaluation_sr=48000,
+            test_data_root=vctk_root,
+            setting_fft={"cutoff_freq": [12000]},
+            auto_download=False,
+            test_name="h64",
+            metrics_backend="host_float64",
+        ).evaluate(limit_test_nums=1, limit_test_speaker=2, verbose=False)
+    finally:
+        os.chdir(cwd)
+    spk = [k for k in r if k not in ("each_speaker", "averaged")][0]
+    fname = list(r[spk].keys())[0]
+    got = r[spk][fname]["proc_fft_24000_44100"]
+    ref = _oracle_fft_eval(os.path.join(vctk_root, spk, fname))
+    # degradation still runs in device f32, so waveform-level diffs remain
+    # ~1e-7; the metric computation itself is exact f64.
+    assert abs(got["lsd"] - ref["lsd"]) < 5e-3
+    assert abs(got["ssim"] - ref["ssim"]) < 1e-3
