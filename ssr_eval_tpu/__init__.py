@@ -19,22 +19,12 @@ are preserved bit-compatibly.
 
 __version__ = "0.1.0"
 
-_LAZY = {
-    "SSR_Eval_Helper": ("ssr_eval_tpu.harness.helper", "SSR_Eval_Helper"),
-    "BasicTestee": ("ssr_eval_tpu.harness.testee", "BasicTestee"),
-    "BatchedTestee": ("ssr_eval_tpu.harness.testee", "BatchedTestee"),
-    "test": ("ssr_eval_tpu.harness.smoke", "test"),
-}
+from ssr_eval_tpu.harness.helper import SSR_Eval_Helper
+from ssr_eval_tpu.harness.testee import BasicTestee, BatchedTestee
 
-
-def __getattr__(name):
-    # Lazy exports keep `import ssr_eval_tpu.dsp` cheap (no harness deps).
-    if name in _LAZY:
-        import importlib
-
-        mod, attr = _LAZY[name]
-        return getattr(importlib.import_module(mod), attr)
-    raise AttributeError(f"module 'ssr_eval_tpu' has no attribute {name!r}")
+# Bound last so `ssr_eval_tpu.test` is the callable, not the shim module —
+# the same shadowing order as the reference's __init__ (ssr_eval/__init__.py:2).
+from ssr_eval_tpu.test import test
 
 __all__ = [
     "SSR_Eval_Helper",

@@ -134,3 +134,44 @@ def test_lowpass_substring_dispatch():
     np.testing.assert_array_equal(a, b)
     with pytest.raises(ValueError):
         lowpass(x, 4000, 44100, _type="nonsense")
+
+
+def test_mp3_plumbing_with_stub_codec(tmp_path, monkeypatch):
+    """MP3 path end-to-end with the codec round-trip stubbed by a lossy
+    quantize+shift (no sox/ffmpeg on this machine): exercises unify_length,
+    FFT-correlation realignment, FLAC caching and the non-identity assert
+    (reference eval.py:302-325)."""
+    from ssr_eval_tpu.degrade import codec
+    from ssr_eval_tpu.io.audio import decode_audio, read_wav, write_wav
+
+    L = 20000
+    x = _sig(L, seed=21)
+
+    def fake_backend():
+        return "stub"
+
+    def fake_encode_decode(src_wav, kbps, backend, workdir):
+        import os
+        y, sr = read_wav(src_wav)
+        # lossy-ish: quantize harder + delay by 37 samples (mp3 padding)
+        y = np.round(y * 2048) / 2048
+        y = np.concatenate([np.zeros(37, np.float32), y]).astype(np.float32)
+        out = os.path.join(workdir, "dec.wav")
+        write_wav(out, y, sr)
+        return out
+
+    monkeypatch.setattr(codec, "detect_backend", fake_backend)
+    monkeypatch.setattr(codec, "_encode_decode_mp3", fake_encode_decode)
+
+    cache = str(tmp_path / "utt_proc_mp3_64_44100.flac")
+    out = codec.mp3_degrade("utt.flac", x, 44100, 64, cache_path=cache)
+    assert out.shape == x.shape
+    # The reference's shift formula `argmax(correlate) - len(x)` is off by
+    # one (eval.py:319-320), leaving exactly one sample of residual delay —
+    # preserved here.  out[n] == quantized x[n-1] in the interior.
+    err_aligned = np.abs(out[101:-100] - np.round(x[100:-101] * 2048) / 2048).max()
+    assert err_aligned < 2e-3, err_aligned
+    # cached FLAC exists and decodes to the aligned audio
+    y, sr = decode_audio(cache)
+    assert sr == 44100
+    np.testing.assert_allclose(y[:, 0] if y.ndim > 1 else y, out, atol=1e-4)
