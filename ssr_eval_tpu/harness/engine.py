@@ -184,7 +184,7 @@ class EvalEngine:
             from ssr_eval_tpu.dsp.spectral import stft_magnitude
             from ssr_eval_tpu.metrics.kernels import spectral_metrics_with_target
 
-            def pipeline(x_nat, len_nat, params_stacked):
+            def pipeline(x_nat, len_nat, params_stacked, testee_state):
                 if x_nat.dtype == jnp.int16:
                     x_nat = x_nat.astype(jnp.float32) / 32768.0
 
@@ -199,7 +199,7 @@ class EvalEngine:
 
                 def per_spec(params):
                     d = jax.vmap(deg, in_axes=(0, 0, None))(x_in, n_in, params)
-                    y, ny = infer_batch(d, n_in)
+                    y, ny = infer_batch(d, n_in, testee_state)
                     # testee output length is static here (trace time)
                     lout = y.shape[1]
                     out_plan = resample_poly_plan(
@@ -234,7 +234,9 @@ class EvalEngine:
         lin = int(self._input_plan(native_sr, lnat).out_length(lnat))
         plist = [spec_params(s, lin) for s in specs]
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *plist)
-        return fn(xj, lj, stacked)  # (metrics [S, 4, B], ye [S,B,L], ne [S,B])
+        # model weights ride through jit as an ARGUMENT (never constants)
+        state = self.testee.device_state()
+        return fn(xj, lj, stacked, state)  # (metrics [S,4,B], ye, ne)
 
     # ------------------------------------------------------------------
     # Host-side orchestration

@@ -141,17 +141,29 @@ class BatchedTestee(BasicTestee):
 
     The default is identity, which lets the harness compile the full
     degrade -> infer -> resample -> metrics chain into one XLA program.
+
+    Models with weights MUST return them from `device_state()` and read
+    them from the `state` argument — the engine threads the state through
+    jit as an *argument*.  Closing over weights instead bakes hundreds of
+    MB of constants into the HLO (and overflows remote-compile request
+    limits on tunneled TPUs).
     """
 
     #: True if `infer_batch` is jit-traceable (pure, static shapes).
     jittable: bool = True
 
-    def infer_batch(self, x: jnp.ndarray, lengths: jnp.ndarray):
+    def device_state(self):
+        """Pytree of device arrays passed to `infer_batch` as `state`."""
+        return None
+
+    def infer_batch(self, x: jnp.ndarray, lengths: jnp.ndarray, state=None):
         """x: [B, Lmax] at model_input_sr -> ([B, Lout], out_lengths)."""
         return x, lengths
 
     def infer(self, x):
         """Single-utterance bridge through the batched path."""
         arr = np.asarray(x, dtype=np.float32)[None, :]
-        y, ls = self.infer_batch(jnp.asarray(arr), jnp.asarray([arr.shape[1]]))
+        y, ls = self.infer_batch(
+            jnp.asarray(arr), jnp.asarray([arr.shape[1]]), self.device_state()
+        )
         return np.asarray(y[0][: int(ls[0])])

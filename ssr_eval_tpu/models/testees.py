@@ -92,9 +92,16 @@ class NVSRTestee(BatchedTestee):
         self.variables = params
 
     def _random_init(self, seed):
-        rng = jax.random.PRNGKey(seed)
-        mel = jnp.abs(jax.random.normal(rng, (1, 128, 128))) + 1e-3
-        return self.model.init(rng, mel, train=False, method=NVSR.init_all)
+        # Init on the CPU backend: tracing init_all through the tunnel's
+        # remote compiler costs minutes; random init needs no TPU.
+        cpus = jax.devices("cpu")
+        with jax.default_device(cpus[0]):
+            rng = jax.random.PRNGKey(seed)
+            mel = jnp.abs(jax.random.normal(rng, (1, 128, 128))) + 1e-3
+            return self.model.init(rng, mel, train=False, method=NVSR.init_all)
+
+    def device_state(self):
+        return self.variables
 
     def load_checkpoint(self, path):
         """Convert a torch NVSR state dict (the reference's Zenodo ckpt,
@@ -105,33 +112,32 @@ class NVSRTestee(BatchedTestee):
 
     # -- the fused device path ------------------------------------------
 
-    def _mel_of(self, x, lengths):
+    def _mel_of(self, x, lengths, state):
         B, lmax = x.shape
         mf = NVSR_STFT.max_frames(lmax)
 
         def one(xi, li):
-            _, mel = self.model.apply(
-                self.variables, xi, li, mf, method=NVSR.pre
-            )
+            _, mel = self.model.apply(state, xi, li, mf, method=NVSR.pre)
             return mel
 
         return jax.vmap(one)(x, lengths), mf
 
-    def _vocode(self, log_mel, lengths):
-        wav = self.model.apply(self.variables, log_mel, method=NVSR.synthesize)
+    def _vocode(self, log_mel, lengths, state):
+        wav = self.model.apply(state, log_mel, method=NVSR.synthesize)
         return jax.vmap(trim_center)(wav, lengths), lengths
 
-    def infer_batch(self, x, lengths):
-        mel, _ = self._mel_of(x, lengths)
-        out = self.model.apply(self.variables, mel, train=False)
-        return self._vocode(out["mel"], lengths)
+    def infer_batch(self, x, lengths, state=None):
+        state = state if state is not None else self.variables
+        mel, _ = self._mel_of(x, lengths, state)
+        out = self.model.apply(state, mel, train=False)
+        return self._vocode(out["mel"], lengths, state)
 
 
 class NVSRPostProcTestee(NVSRTestee):
     """+ low-band GT splice after vocoding (reference main.py:112-127)."""
 
-    def infer_batch(self, x, lengths):
-        y, ny = super().infer_batch(x, lengths)
+    def infer_batch(self, x, lengths, state=None):
+        y, ny = super().infer_batch(x, lengths, state)
         cut = batched_cutoff_index(x, lengths)
         lmax = max(x.shape[1], y.shape[1])
         xp = jnp.pad(x, ((0, 0), (0, lmax - x.shape[1])))
@@ -161,12 +167,13 @@ class NVSRPaddingPostProcTestee(NVSRTestee):
 
         return jax.vmap(one)(mel)
 
-    def infer_batch(self, x, lengths):
-        mel, _ = self._mel_of(x, lengths)
+    def infer_batch(self, x, lengths, state=None):
+        state = state if state is not None else self.variables
+        mel, _ = self._mel_of(x, lengths, state)
         tiled = self._tile_mel(mel)
         from ssr_eval_tpu.models.nvsr import to_log
 
-        y, ny = self._vocode(to_log(tiled), lengths)
+        y, ny = self._vocode(to_log(tiled), lengths, state)
         cut = batched_cutoff_index(x, lengths)
         lmax = max(x.shape[1], y.shape[1])
         xp = jnp.pad(x, ((0, 0), (0, lmax - x.shape[1])))

@@ -83,15 +83,26 @@ class DecoderGroup(nn.Module):
 
 
 class UNetRes(nn.Module):
-    """channels-last UNet over [B, T, F, C] log-mel images."""
+    """channels-last UNet over [B, T, F, C] log-mel images.
+
+    `remat=True` rematerializes each encoder/decoder group under autodiff
+    (jax.checkpoint), trading ~2x group FLOPs for not holding 26 residual
+    blocks' activations — the standard HBM lever for training long
+    spectrogram batches."""
 
     channels: int = 1
     widths: Sequence[int] = (32, 64, 128, 256, 384, 384)
     blocks_per_group: int = 4
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: [B, T, F, C]
+        if self.remat:
+            Enc = nn.remat(EncoderGroup, static_argnums=(2,))
+            Dec = nn.remat(DecoderGroup, static_argnums=(3,))
+        else:
+            Enc, Dec = EncoderGroup, DecoderGroup
         origin_len = x.shape[1]
         ratio = 2 ** len(self.widths)
         pad_len = int(np.ceil(origin_len / ratio)) * ratio - origin_len
@@ -101,14 +112,14 @@ class UNetRes(nn.Module):
         skips = []
         h = x
         for i, w in enumerate(self.widths):
-            h, skip = EncoderGroup(w, self.blocks_per_group, name=f"encoder_block{i + 1}")(
+            h, skip = Enc(w, self.blocks_per_group, name=f"encoder_block{i + 1}")(
                 h, train
             )
             skips.append(skip)
         h = ConvBlockRes(self.widths[-1], name="conv_block7")(h, train)
         dec_widths = list(self.widths[::-1])  # 384,384,256,128,64,32
         for i, w in enumerate(dec_widths):
-            h = DecoderGroup(w, self.blocks_per_group, name=f"decoder_block{i + 1}")(
+            h = Dec(w, self.blocks_per_group, name=f"decoder_block{i + 1}")(
                 h, skips[-(i + 1)], train
             )
         h = ConvBlockRes(self.widths[0], name="after_conv_block1")(h, train)
