@@ -75,7 +75,12 @@ class EvalEngine:
         self.test_name = test_name
         self.io_workers = io_workers
         self.input_res_type = input_res_type
-        self.metrics_backend = metrics_backend  # 'device' | 'host_float64'
+        if metrics_backend not in ("device", "host_float64"):
+            raise ValueError(
+                f"metrics_backend must be 'device' or 'host_float64', got "
+                f"{metrics_backend!r}"
+            )
+        self.metrics_backend = metrics_backend
         self.profile_dir = profile_dir
         self.journal = journal
         self.stats = StageTimers()
