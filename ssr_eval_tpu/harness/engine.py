@@ -237,8 +237,13 @@ class EvalEngine:
         """Run all `specs` (one family) in a single stacked device call."""
         fn = self._fused_fn(specs[0], native_sr, lnat)
         lin = int(self._input_plan(native_sr, lnat).out_length(lnat))
-        plist = [spec_params(s, lin) for s in specs]
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *plist)
+        pkey = ("stacked_params", tuple(s.key for s in specs), lin)
+        if pkey not in self._compiled:
+            plist = [spec_params(s, lin) for s in specs]
+            self._compiled[pkey] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *plist
+            )
+        stacked = self._compiled[pkey]
         # model weights ride through jit as an ARGUMENT (never constants)
         state = self.testee.device_state()
         return fn(xj, lj, stacked, state)  # (metrics [S,4,B], ye, ne)

@@ -26,17 +26,7 @@ import jax.numpy as jnp
 from ssr_eval_tpu.metrics.kernels import metric_stft_config, spectral_metrics
 
 
-def _bucket_len(n: int) -> int:
-    """Next power-of-two-ish bucket (1, 1.25, 1.5, 1.75 x 2^k) >= n."""
-    if n <= 4096:
-        return 4096
-    k = (n - 1).bit_length()
-    base = 1 << (k - 1)
-    for mult in (1.25, 1.5, 1.75, 2.0):
-        b = int(base * mult)
-        if b >= n:
-            return b
-    return 1 << k
+from ssr_eval_tpu.utils.bucket import bucket_length as _bucket_len
 
 
 @functools.lru_cache(maxsize=64)
