@@ -64,6 +64,7 @@ class Generator(nn.Module):
 
     model_name: str = "unet"
     n_mels: int = 128
+    dtype: object = None  # computation dtype; params stay float32
 
     @nn.compact
     def __call__(self, mel_orig, train: bool = False):
@@ -73,7 +74,7 @@ class Generator(nn.Module):
             # unet_small's blocks are structurally identical in the
             # reference (components/unet_small.py is a class-rename of
             # unet.py); both use the 4-block residual groups.
-            out = UNetRes(channels=1, name="analysis_module")(
+            out = UNetRes(channels=1, dtype=self.dtype, name="analysis_module")(
                 log_mel[..., None], train
             )["mel"][..., 0]
         elif self.model_name == "bigru":
@@ -110,10 +111,11 @@ class NVSR(nn.Module):
     model_name: str = "unet"
     n_mels: int = 128
     sample_rate: int = 44100
+    dtype: object = None  # model computation dtype (e.g. jnp.bfloat16)
 
     def setup(self):
-        self.generator = Generator(self.model_name, self.n_mels)
-        self.vocoder = HiFiGANVocoder(n_mels=self.n_mels)
+        self.generator = Generator(self.model_name, self.n_mels, dtype=self.dtype)
+        self.vocoder = HiFiGANVocoder(n_mels=self.n_mels, dtype=self.dtype)
         self._mel = MelScale(
             n_mels=self.n_mels, sample_rate=self.sample_rate, n_stft=NVSR_STFT.n_bins
         )

@@ -82,9 +82,11 @@ class NVSRTestee(BatchedTestee):
 
     jittable = True
 
-    def __init__(self, model_name="unet", params=None, seed=234, ckpt=None):
+    def __init__(self, model_name="unet", params=None, seed=234, ckpt=None, dtype=None):
+        """dtype: model computation dtype, e.g. jnp.bfloat16 for ~2x conv
+        throughput at inference (params and the eval DSP stay float32)."""
         super().__init__()
-        self.model = NVSR(model_name=model_name)
+        self.model = NVSR(model_name=model_name, dtype=dtype)
         if ckpt is not None:
             params = self.load_checkpoint(ckpt)
         if params is None:

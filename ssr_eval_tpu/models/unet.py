@@ -30,32 +30,39 @@ import flax.linen as nn
 class ConvBlockRes(nn.Module):
     """Pre-activation residual block (reference unet.py:289-352):
     BN -> leaky_relu(0.01) -> 3x3 conv -> BN -> leaky_relu -> 3x3 conv,
-    with a biased 1x1 shortcut when channel counts differ."""
+    with a biased 1x1 shortcut when channel counts differ.
+
+    `dtype` is the computation dtype (params stay float32): bfloat16
+    roughly doubles conv throughput on the MXU for inference."""
 
     out_ch: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         in_ch = x.shape[-1]
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99, name="bn1")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         dtype=self.dtype, name="bn1")(x)
         h = nn.leaky_relu(h, negative_slope=0.01)
-        h = nn.Conv(self.out_ch, (3, 3), use_bias=False, name="conv1")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99, name="bn2")(h)
+        h = nn.Conv(self.out_ch, (3, 3), use_bias=False, dtype=self.dtype, name="conv1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         dtype=self.dtype, name="bn2")(h)
         h = nn.leaky_relu(h, negative_slope=0.01)
-        h = nn.Conv(self.out_ch, (3, 3), use_bias=False, name="conv2")(h)
+        h = nn.Conv(self.out_ch, (3, 3), use_bias=False, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1), name="shortcut")(x)
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="shortcut")(x)
         return x + h
 
 
 class EncoderGroup(nn.Module):
     out_ch: int
     blocks: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         for i in range(self.blocks):
-            x = ConvBlockRes(self.out_ch, name=f"conv_block{i + 1}")(x, train)
+            x = ConvBlockRes(self.out_ch, dtype=self.dtype, name=f"conv_block{i + 1}")(x, train)
         pooled = nn.avg_pool(x, (2, 2), strides=(2, 2))
         return pooled, x
 
@@ -66,19 +73,21 @@ class DecoderGroup(nn.Module):
 
     out_ch: int
     blocks: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, skip, train: bool):
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99, name="bn1")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         dtype=self.dtype, name="bn1")(x)
         h = nn.relu(h)
         h = nn.ConvTranspose(
             self.out_ch, (3, 3), strides=(2, 2), padding="VALID", use_bias=False,
-            name="conv1",
+            dtype=self.dtype, name="conv1",
         )(h)
         h = h[:, :-1, :, :]  # prune: (T-1)*2+3 -> 2T (time); freq 2F+1 matches skip
         h = jnp.concatenate([h, skip], axis=-1)
         for i in range(self.blocks):
-            h = ConvBlockRes(self.out_ch, name=f"conv_block{i + 2}")(h, train)
+            h = ConvBlockRes(self.out_ch, dtype=self.dtype, name=f"conv_block{i + 2}")(h, train)
         return h
 
 
@@ -94,6 +103,7 @@ class UNetRes(nn.Module):
     widths: Sequence[int] = (32, 64, 128, 256, 384, 384)
     blocks_per_group: int = 4
     remat: bool = False
+    dtype: object = None  # computation dtype (e.g. jnp.bfloat16); params f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -112,18 +122,17 @@ class UNetRes(nn.Module):
         skips = []
         h = x
         for i, w in enumerate(self.widths):
-            h, skip = Enc(w, self.blocks_per_group, name=f"encoder_block{i + 1}")(
-                h, train
-            )
+            h, skip = Enc(w, self.blocks_per_group, dtype=self.dtype,
+                          name=f"encoder_block{i + 1}")(h, train)
             skips.append(skip)
-        h = ConvBlockRes(self.widths[-1], name="conv_block7")(h, train)
+        h = ConvBlockRes(self.widths[-1], dtype=self.dtype, name="conv_block7")(h, train)
         dec_widths = list(self.widths[::-1])  # 384,384,256,128,64,32
         for i, w in enumerate(dec_widths):
-            h = Dec(w, self.blocks_per_group, name=f"decoder_block{i + 1}")(
-                h, skips[-(i + 1)], train
-            )
-        h = ConvBlockRes(self.widths[0], name="after_conv_block1")(h, train)
-        h = nn.Conv(self.channels, (1, 1), name="after_conv2")(h)
+            h = Dec(w, self.blocks_per_group, dtype=self.dtype,
+                    name=f"decoder_block{i + 1}")(h, skips[-(i + 1)], train)
+        h = ConvBlockRes(self.widths[0], dtype=self.dtype, name="after_conv_block1")(h, train)
+        h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="after_conv2")(h)
+        h = h.astype(jnp.float32)
 
         h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))  # restore freq bin
         h = h[:, :origin_len, :, :]

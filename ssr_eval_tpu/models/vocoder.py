@@ -27,6 +27,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel: int = 3
     dilations: Sequence[int] = (1, 3, 5)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -34,10 +35,11 @@ class ResBlock1(nn.Module):
             h = nn.leaky_relu(x, negative_slope=0.1)
             h = nn.Conv(
                 self.channels, (self.kernel,), kernel_dilation=(d,),
-                padding="SAME", name=f"conv1_{i}",
+                padding="SAME", dtype=self.dtype, name=f"conv1_{i}",
             )(h)
             h = nn.leaky_relu(h, negative_slope=0.1)
-            h = nn.Conv(self.channels, (self.kernel,), padding="SAME", name=f"conv2_{i}")(h)
+            h = nn.Conv(self.channels, (self.kernel,), padding="SAME",
+                        dtype=self.dtype, name=f"conv2_{i}")(h)
             x = x + h
         return x
 
@@ -51,25 +53,28 @@ class HiFiGANVocoder(nn.Module):
     upsample_kernels: Sequence[int] = (14, 14, 6, 6)
     resblock_kernels: Sequence[int] = (3, 7, 11)
     resblock_dilations: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    dtype: object = None  # computation dtype; params stay float32
 
     @nn.compact
     def __call__(self, mel):
-        h = nn.Conv(self.base_channels, (7,), padding="SAME", name="conv_pre")(mel)
+        h = nn.Conv(self.base_channels, (7,), padding="SAME",
+                    dtype=self.dtype, name="conv_pre")(mel)
         ch = self.base_channels
         for i, (r, k) in enumerate(zip(self.upsample_rates, self.upsample_kernels)):
             ch //= 2
             h = nn.leaky_relu(h, negative_slope=0.1)
             h = nn.ConvTranspose(
-                ch, (k,), strides=(r,), padding="SAME", name=f"up_{i}"
+                ch, (k,), strides=(r,), padding="SAME", dtype=self.dtype,
+                name=f"up_{i}",
             )(h)
             # Multi-receptive-field fusion: mean of parallel resblocks.
             acc = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernels, self.resblock_dilations)
             ):
-                b = ResBlock1(ch, rk, rd, name=f"res_{i}_{j}")(h)
+                b = ResBlock1(ch, rk, rd, dtype=self.dtype, name=f"res_{i}_{j}")(h)
                 acc = b if acc is None else acc + b
             h = acc / len(self.resblock_kernels)
         h = nn.leaky_relu(h, negative_slope=0.1)
-        h = nn.Conv(1, (7,), padding="SAME", name="conv_post")(h)
-        return jnp.tanh(h)[..., 0]
+        h = nn.Conv(1, (7,), padding="SAME", dtype=self.dtype, name="conv_post")(h)
+        return jnp.tanh(h.astype(jnp.float32))[..., 0]

@@ -160,3 +160,28 @@ def test_fit_loop_decreases_loss(tmp_path):
     from ssr_eval_tpu.models.checkpoint import restore_variables
     restored = restore_variables(ckpt)
     assert "params" in restored
+
+
+def test_bf16_inference_mode(tmp_path):
+    """dtype=bfloat16 testee: params stay f32, outputs f32, metrics close
+    to the f32 run (inference-quality tolerance)."""
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.fixtures import speechlike
+    from ssr_eval_tpu.io.audio import write_wav
+    from ssr_eval_tpu.models.testees import NVSRTestee
+
+    x = speechlike(0.3, 44100, seed=60)
+    p = str(tmp_path / "u.wav")
+    write_wav(p, x, 44100)
+    specs = expand_settings(setting_fft={"cutoff_freq": [8000]}, sr=44100)
+
+    t32 = NVSRTestee(model_name="dnn", seed=5)
+    t16 = NVSRTestee(model_name="dnn", seed=5, dtype=jnp.bfloat16)
+    # identical params (same seed, dtype only affects compute)
+    r32 = EvalEngine(specs, 44100, 44100, 44100, t32, batch_size=1).evaluate_files([p])
+    r16 = EvalEngine(specs, 44100, 44100, 44100, t16, batch_size=1).evaluate_files([p])
+    a = r32[p]["proc_fft_8000_44100"]
+    b = r16[p]["proc_fft_8000_44100"]
+    assert np.isfinite(b["lsd"])
+    assert abs(a["lsd"] - b["lsd"]) < 0.5, (a["lsd"], b["lsd"])
