@@ -96,16 +96,6 @@ class FDomainHelper:
         nf = int(nf)
         return np.asarray(r)[:nf], np.asarray(i)[:nf], nf
 
-    def _map_channels(self, input, fn):
-        """input [B, C, samples] -> stacked per-channel results."""
-        input = np.asarray(input, dtype=np.float32)
-        return np.stack(
-            [
-                np.stack([fn(input[b, c]) for c in range(input.shape[1])])
-                for b in range(input.shape[0])
-            ]
-        )
-
     # -- reference API -------------------------------------------------
 
     def spectrogram(self, input, eps=0.0):

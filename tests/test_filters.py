@@ -85,3 +85,36 @@ def test_order_sweep_stability():
         got = np.asarray(sosfiltfilt(jnp.asarray(x), L, plan, H, r))
         ref = scipy_sosfiltfilt(sos, x.astype(np.float64))
         assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, order
+
+
+def test_bandpass_matches_scipy():
+    """bandpass() public entry vs scipy sosfiltfilt band design
+    (reference lowpass.py:54-91,199-256)."""
+    from scipy.signal import sosfiltfilt as scipy_sff
+
+    from ssr_eval_tpu.degrade.lowpass import bandpass
+    from ssr_eval_tpu.dsp.filters import design_bandpass_sos
+
+    L = 20000
+    x = _sig(L, seed=12)
+    got = bandpass(x, 1000, 6000, 44100, order=4, _type="butter")
+    sos = design_bandpass_sos("butter", 4, 1000, 6000, 44100)
+    ref = scipy_sff(sos, x.astype(np.float64))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-4
+
+
+def test_profiler_trace_hook(tmp_path):
+    """device_trace writes a profile when a directory is set."""
+    import os
+
+    import jax.numpy as jnp
+
+    from ssr_eval_tpu.utils.profiling import device_trace
+
+    d = str(tmp_path / "prof")
+    with device_trace(d):
+        jnp.sum(jnp.ones((64, 64))).block_until_ready()
+    found = []
+    for root, _, files in os.walk(d):
+        found.extend(files)
+    assert found, "no profiler artifacts written"
