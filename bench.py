@@ -11,7 +11,11 @@ Prints ONE JSON line:
    "value": ..., "unit": "utt/s/chip", "vs_baseline": ...}
 
 `vs_baseline` = our throughput / reference-CPU throughput, per chip.
-Also records max |delta LSD| vs. the float64 oracle across the sweep.
+The baseline is deliberately conservative: it is a *vectorized* NumPy
+implementation of the reference pipeline; the actual upstream additionally
+pays a sox subprocess per file, torch conv1d STFTs, and a per-channel
+Python SSIM loop, so true upstream throughput is lower than this baseline.
+Also records per-cutoff |delta LSD| vs. the float32-input oracle.
 """
 
 from __future__ import annotations
