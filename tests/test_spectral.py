@@ -117,3 +117,17 @@ def test_fdomain_complex_roundtrip():
     assert cs.shape[1] == 2
     y = f.complex_spectrogram_to_wav(cs, length=L)
     np.testing.assert_allclose(y[0, 0, 2048:-2048], x[0, 0, 2048:-2048], atol=1e-3)
+
+
+def test_fdomain_subband():
+    """subband divides window/hop sizes (reference dsp.py:40-59)."""
+    from ssr_eval_tpu.dsp.fdomain import FDomainHelper
+
+    f = FDomainHelper(subband=2)
+    assert f.cfg.n_fft == 1024 and f.cfg.hop == 220
+    L = 9000
+    x = _sig(L, seed=10)[None, None, :]
+    sps, coss, sins = f.wav_to_spectrogram_phase(x)
+    assert sps.shape[3] == 513
+    y = f.spectrogram_phase_to_wav(sps, coss, sins, L)
+    np.testing.assert_allclose(y[0, 0, 1024:-1024], x[0, 0, 1024:-1024], atol=1e-3)
