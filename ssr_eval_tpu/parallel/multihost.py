@@ -1,0 +1,66 @@
+"""Multi-host (DCN) sweep scaffolding — EXPERIMENTAL.
+
+Single-host multi-chip evaluation is fully supported and tested (mesh
+data-axis sharding, tests/test_parallel.py).  Multi-host pods additionally
+need process-group initialization and a gather of per-host results to
+process 0 for the JSON writer.  This module provides that wiring; it
+cannot be exercised on a single-host machine, so it is scaffolding with
+the standard JAX recipes, kept import-safe and documented (TODO.md #4).
+
+Usage sketch (one process per host):
+
+    from ssr_eval_tpu.parallel.multihost import init_distributed, is_coordinator
+    init_distributed(coordinator_address, num_processes, process_id)
+    mesh = data_mesh()                  # now spans all hosts' devices
+    helper = SSR_Eval_Helper(..., mesh=mesh)
+    # each host evaluates its shard of files:
+    my_files = all_files[process_id::num_processes]
+    partial = helper.engine.evaluate_files(my_files)
+    merged = gather_results_to_coordinator(partial)
+    if is_coordinator():
+        write_json(merged, ...)
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+
+
+def init_distributed(coordinator_address: str, num_processes: int, process_id: int):
+    """jax.distributed process-group init (call before any jax use)."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0
+
+
+def gather_results_to_coordinator(local_results: dict) -> dict:
+    """All-gather each host's {path: {key: metrics}} dict to every process
+    (coordinator merges and writes).  Results are small JSON-able dicts, so
+    they travel as length-prefixed uint8 tensors through the standard
+    multihost_utils broadcast/gather path."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = json.dumps(local_results).encode()
+    n = jax.process_count()
+    # Pad to a common length (all-gather needs uniform shapes).
+    max_len = int(
+        multihost_utils.process_allgather(np.asarray([len(payload)])).max()
+    )
+    buf = np.zeros(max_len, dtype=np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+    gathered = multihost_utils.process_allgather(buf)  # [n, max_len]
+    merged: dict = {}
+    for i in range(n):
+        raw = bytes(gathered[i]).rstrip(b"\x00")
+        if raw:
+            merged.update(json.loads(raw.decode()))
+    return merged
