@@ -323,3 +323,42 @@ def test_host_float64_metrics_backend(vctk_root, tmp_path):
     # ~1e-7; the metric computation itself is exact f64.
     assert abs(got["lsd"] - ref["lsd"]) < 5e-3
     assert abs(got["ssim"] - ref["ssim"]) < 1e-3
+
+
+def test_full_settings_matrix(vctk_root, tmp_path):
+    """The examples/test.py configuration (all device families together:
+    butter lowpass + subsampling + fft) through the public helper."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        r = ssr_eval_tpu.SSR_Eval_Helper(
+            BasicTestee(),
+            input_sr=44100,
+            output_sr=44100,
+            evaluation_sr=44100,
+            test_data_root=vctk_root,
+            setting_fft={"cutoff_freq": [12000]},
+            setting_lowpass_filtering={
+                "filter": ["butter"],
+                "cutoff_freq": [12000],
+                "filter_order": [6],
+            },
+            setting_subsampling={"cutoff_freq": [12000]},
+            auto_download=False,
+            test_name="matrix",
+        ).evaluate(limit_test_nums=1, limit_test_speaker=2, verbose=False)
+    finally:
+        os.chdir(cwd)
+    keys = list(r["averaged"].keys())
+    # preprocess family order: butter, subsampling, fft (eval.py:244-269)
+    assert keys == [
+        "proc_bw_24000_6_44100",
+        "proc_subsampling_24000_44100",
+        "proc_fft_24000_44100",
+    ], keys
+    for k in keys:
+        for m in ("lsd", "log_sispec", "sispec", "ssim"):
+            assert np.isfinite(r["averaged"][k][m]), (k, m)
+    # mild-cutoff (12 kHz) degradations: all should score better (lower
+    # lsd) than heavy degradation would; sanity-range only
+    assert 0.0 < r["averaged"]["proc_bw_24000_6_44100"]["lsd"] < 10.0
