@@ -252,18 +252,36 @@ class EvalEngine:
     # Host-side orchestration
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _decode_one(p):
+        x, sr = decode_audio(p)
+        if x.ndim > 1:
+            x = x.mean(axis=1)
+        return x.astype(np.float32), int(sr)
+
     def decode_files(self, paths):
         """Parallel host decode -> [(mono float32, native_sr)]."""
-
-        def one(p):
-            x, sr = decode_audio(p)
-            if x.ndim > 1:
-                x = x.mean(axis=1)
-            return x.astype(np.float32), int(sr)
-
         with self.stats.stage("decode"):
             with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
-                return list(ex.map(one, paths))
+                return list(ex.map(self._decode_one, paths))
+
+    def _pack_batch(self, sr, b, rows):
+        chunk = list(rows)
+        n_real = len(chunk)
+        while len(chunk) < self.batch_size:
+            chunk.append(chunk[0])  # pad rows, masked at collation
+        xb = np.zeros((self.batch_size, b), np.float32)
+        lens = np.zeros(self.batch_size, np.int32)
+        for j, (_, x) in enumerate(chunk):
+            xb[j, : len(x)] = x
+            lens[j] = len(x)
+        # Lossless int16 wire format halves host->device bytes when the
+        # audio came from 16-bit PCM (VCTK does); the pipeline rescales on
+        # device.  Checked exactly, not assumed.
+        q = np.round(xb * 32768.0)
+        if np.all(np.abs(q) <= 32767) and np.array_equal(q / 32768.0, xb):
+            xb = q.astype(np.int16)
+        return (sr, b), [c[0] for c in chunk[:n_real]], xb, lens
 
     def _make_batches(self, items):
         """Group (idx, audio, sr) by (sr, bucket), chunk to batch_size."""
@@ -273,26 +291,36 @@ class EvalEngine:
             groups.setdefault((sr, b), []).append((idx, x))
         for (sr, b), rows in groups.items():
             for i in range(0, len(rows), self.batch_size):
-                chunk = rows[i : i + self.batch_size]
-                n_real = len(chunk)
-                while len(chunk) < self.batch_size:
-                    chunk.append(chunk[0])  # pad rows, masked at collation
-                xb = np.zeros((self.batch_size, b), np.float32)
-                lens = np.zeros(self.batch_size, np.int32)
-                for j, (_, x) in enumerate(chunk):
-                    xb[j, : len(x)] = x
-                    lens[j] = len(x)
-                # Lossless int16 wire format halves host->device bytes when
-                # the audio came from 16-bit PCM (VCTK does); the pipeline
-                # rescales on device.  Checked exactly, not assumed.
-                q = np.round(xb * 32768.0)
-                if np.all(np.abs(q) <= 32767) and np.array_equal(q / 32768.0, xb):
-                    xb = q.astype(np.int16)
-                yield (sr, b), [c[0] for c in chunk[:n_real]], xb, lens
+                yield self._pack_batch(sr, b, rows[i : i + self.batch_size])
+
+    def _stream_batches(self, paths):
+        """Decode in a thread pool and yield full batches AS FILES COMPLETE,
+        so host decode overlaps device dispatch (the reference decodes and
+        evaluates strictly serially, one file at a time).  Remainder
+        batches flush once decoding finishes."""
+        from concurrent.futures import as_completed
+
+        groups = {}
+        t0 = __import__("time").perf_counter()
+        with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
+            futs = {ex.submit(self._decode_one, p): i for i, p in enumerate(paths)}
+            for fut in as_completed(futs):
+                idx = futs[fut]
+                x, sr = fut.result()
+                b = bucket_length(len(x))
+                rows = groups.setdefault((sr, b), [])
+                rows.append((idx, x))
+                if len(rows) == self.batch_size:
+                    groups[(sr, b)] = []
+                    yield self._pack_batch(sr, b, rows)
+        self.stats.seconds["decode"] += __import__("time").perf_counter() - t0
+        self.stats.counts["decode"] += 1
+        for (sr, b), rows in groups.items():
+            if rows:
+                yield self._pack_batch(sr, b, rows)
 
     def evaluate_files(self, paths):
         """-> {path: {spec_key: {metric: float, ...}}} in spec order."""
-        decoded = self.decode_files(paths)
         results = {p: {} for p in paths}
         device_specs = [s for s in self.specs if s.family != "mp3"]
         mp3_specs = [s for s in self.specs if s.family == "mp3"]
@@ -303,7 +331,7 @@ class EvalEngine:
         trace_cm = device_trace(self.profile_dir)
         trace_cm.__enter__()
         _t_dispatch = _time.perf_counter()
-        for (sr, b), idxs, xb, lens in self._make_batches(enumerate(decoded)):
+        for (sr, b), idxs, xb, lens in self._stream_batches(paths):
             if self.mesh is not None:
                 sh = batch_sharding(self.mesh)
                 xj = jax.device_put(xb, sh)
