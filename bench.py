@@ -142,7 +142,54 @@ def main():
             per_key_dlsd[key] = max(per_key_dlsd.get(key, 0.0), d)
             max_dlsd = max(max_dlsd, d)
 
-    extra = {}
+    # Well-conditioned numerical agreement: identity-testee LSD in masked
+    # bands is float-floor-dominated (PARITY.md dev. 4), so ALSO measure
+    # ΔLSD with a broadband-floor testee where est spectra sit far above
+    # any rounding floor — the correctness-meaningful number.
+    import jax.numpy as jnp
+
+    from ssr_eval_tpu.harness.testee import BatchedTestee as _BT
+
+    rng_noise = np.random.default_rng(777)
+    noise = (1e-3 * rng_noise.standard_normal(1 << 17)).astype(np.float32)
+
+    class NoisyTestee(_BT):
+        def device_state(self):
+            return jnp.asarray(noise)
+
+        def infer_batch(self, x, lengths, state=None):
+            idx = jnp.arange(x.shape[1]) % state.shape[0]
+            mask = (jnp.arange(x.shape[1])[None, :] < lengths[:, None]).astype(
+                jnp.float32
+            )
+            return x.astype(jnp.float32) + state[idx][None, :] * mask, lengths
+
+    eng_wc = EvalEngine(
+        specs[:2], input_sr=SR, output_sr=SR, evaluation_sr=SR,
+        testee=NoisyTestee(), batch_size=BATCH,
+    )
+    r_wc = eng_wc.evaluate_files(paths[:n_base])
+    max_dlsd_wc = 0.0
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from oracles import istft_np, lsd_np, stft_np
+    from ssr_eval_tpu.io.audio import decode_audio
+
+    for p in paths[:n_base]:
+        x, _ = decode_audio(p)
+        x = x.astype(np.float64)
+        tgt_sp = np.abs(stft_np(x, int(2048 / (44100 / SR)), int(SR / 100))).T
+        for c in CUTOFFS[:2]:
+            Z = stft_np(x, 2048, 441)
+            Z[int(1025 * (c / int(SR / 2))):, :] = 0.0
+            est = istft_np(Z, 2048, 441, length=len(x))
+            idx = np.arange(len(est)) % noise.shape[0]
+            est = est + noise.astype(np.float64)[idx]
+            es = np.abs(stft_np(est, int(2048 / (44100 / SR)), int(SR / 100))).T
+            ref_lsd = lsd_np(es, tgt_sp)
+            got_lsd = r_wc[p][f"proc_fft_{2 * c}_{SR}"]["lsd"]
+            max_dlsd_wc = max(max_dlsd_wc, abs(got_lsd - ref_lsd))
+
+    extra = {"max_abs_dLSD_wellconditioned": round(max_dlsd_wc, 6)}
     if os.environ.get("SSR_BENCH_FULL"):
         # Extended configs (BASELINE #3): mixed IIR/subsampling matrix.
         # Gated: their first-run tunnel compiles are several minutes.
