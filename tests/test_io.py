@@ -157,3 +157,34 @@ def test_load_mono_mixdown(tmp_path):
     write_wav(p, x, 44100, subtype="FLOAT")
     y, sr = load(p, sr=None)
     np.testing.assert_allclose(y, x.mean(axis=1), atol=1e-6)
+
+
+def test_wav_pcm24_and_pcm32_read(tmp_path):
+    """Hand-built 24-bit and 32-bit PCM RIFF files decode correctly."""
+    import struct
+
+    sr = 16000
+    vals = np.array([0, 1 << 22, -(1 << 22), (1 << 23) - 1, -(1 << 23)], np.int64)
+
+    # 24-bit
+    body = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    p24 = str(tmp_path / "t24.wav")
+    with open(p24, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 3, 3, 24))
+        f.write(b"data" + struct.pack("<I", len(body)) + body)
+    x, got_sr = read_wav(p24)
+    assert got_sr == sr
+    np.testing.assert_allclose(x, vals / (1 << 23), atol=1e-7)
+
+    # 32-bit int
+    body32 = np.asarray(vals << 8, dtype="<i4").tobytes()
+    p32 = str(tmp_path / "t32.wav")
+    with open(p32, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(body32)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 4, 4, 32))
+        f.write(b"data" + struct.pack("<I", len(body32)) + body32)
+    x32, _ = read_wav(p32)
+    np.testing.assert_allclose(x32, (vals << 8) / (1 << 31), atol=1e-7)
