@@ -31,9 +31,23 @@ from ssr_eval_tpu.models.nvsr import NVSR, to_log
 
 
 def make_mesh(n_devices=None, tp=None, devices=None):
-    """('data', 'model') mesh; tp defaults to 2 when it divides the count."""
+    """('data', 'model') mesh; tp defaults to 2 when it divides the count.
+
+    Fails loudly when fewer than `n_devices` devices are visible instead of
+    silently truncating (the r1 dryrun crash mode): on a single-chip host
+    the caller must create virtual CPU devices BEFORE backend init.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh: requested {n} devices but only {len(devices)} are "
+            f"visible (platform={devices[0].platform!r}). On a single-chip "
+            f"host, create virtual CPU devices BEFORE any JAX backend init: "
+            f"set XLA_FLAGS=--xla_force_host_platform_device_count={n} and "
+            f'jax.config.update("jax_platforms", "cpu") — see '
+            f"tests/conftest.py and __graft_entry__.dryrun_multichip."
+        )
     devices = devices[:n]
     if tp is None:
         tp = 2 if n % 2 == 0 and n >= 2 else 1
