@@ -17,10 +17,13 @@ Layout rules (validated against torch numerically in tests/test_convert.py):
   Linear weight        (out, in) -> (in, out)
   BatchNorm2d          weight->scale, bias->bias, running_* -> batch_stats
 
-Vocoder weights: the voicefixer vocoder's module names are external to the
-reference repo; `torch_nvsr_to_flax` converts every `generator.*` tensor
-and reports (does not fail on) unmatched keys, so a voicefixer state dict
-can be grafted once its naming is supplied via `extra_rules`.
+Vocoder weights: `vocoder_state_dict_to_flax` maps a voicefixer-structure
+generator state dict (weight-normed Conv1d/ConvTranspose1d Sequential)
+onto models/vocoder.TFGANGenerator, fusing weight norm; the name map is
+config-derived (`vocoder_name_map`) so channel/ratio differences in the
+real checkpoint are a config change, not a code change.  NVSR's own UNet
+checkpoint converts via `torch_nvsr_to_flax`, which reports (does not
+fail on) unmatched keys.
 """
 
 from __future__ import annotations
@@ -51,6 +54,95 @@ def conv_transpose_kernel(w):
 
 def linear_kernel(w):
     return np.transpose(_to_np(w), (1, 0))
+
+
+def conv1d_kernel(w):
+    """torch Conv1d (O, I, K) -> flax Conv (K, I, O)."""
+    return np.transpose(_to_np(w), (2, 1, 0))
+
+
+def conv1d_transpose_kernel(w):
+    """torch ConvTranspose1d (I, O, K) -> flax ConvTranspose (K, I, O).
+
+    Same rule as the validated 2-D case: flax ConvTranspose
+    (transpose_kernel=False) equals torch's transposed convolution with
+    the kernel spatially flipped."""
+    w = _to_np(w)[:, :, ::-1]
+    return np.transpose(w, (2, 0, 1))
+
+
+def fuse_weight_norm(weight_v, weight_g):
+    """Fold torch weight_norm (default dim=0) into a plain weight:
+    w = g * v / ||v|| with the norm over all dims except 0."""
+    v = _to_np(weight_v)
+    g = _to_np(weight_g)
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v.astype(np.float64) ** 2).sum(axis=axes, keepdims=True))
+    return (v * (g / norm)).astype(v.dtype)
+
+
+def vocoder_name_map(cfg=None):
+    """torch-Sequential prefixes of the voicefixer-structure generator ->
+    (flax module name in models.vocoder.TFGANGenerator, kind).
+
+    Sequential layout: [WNConv1d, LeakyReLU, then per upsample stage i:
+    UpsampleNet (ConvTranspose1d under `.layer`), ResStack (dilated/1x1
+    conv pairs under `.blocks.{j}.{2,4}`), LeakyReLU, ...,
+    WNConv1d head, Tanh]."""
+    from ssr_eval_tpu.models.vocoder import TFGANConfig
+
+    cfg = cfg or TFGANConfig()
+    m = {"generator.0": ("pre", "conv1d")}
+    idx = 2
+    for i in range(len(cfg.ratios)):
+        m[f"generator.{idx}.layer"] = (f"up_{i}", "convT1d")
+        for j in range(len(cfg.res_dilations)):
+            m[f"generator.{idx + 1}.blocks.{j}.2"] = (f"res_{i}_{j}_d", "conv1d")
+            m[f"generator.{idx + 1}.blocks.{j}.4"] = (f"res_{i}_{j}_p", "conv1d")
+        idx += 3
+    m[f"generator.{idx}"] = ("post", "conv1d")
+    return m
+
+
+def vocoder_state_dict_to_flax(state_dict, cfg=None, wrap_model=False):
+    """voicefixer-structure torch state dict -> flax params for
+    models.vocoder.TFGANGenerator (or, with wrap_model=True, the
+    `Vocoder` wrapper whose generator lives under `model`).
+
+    Accepts keys with or without a leading 'model.' (the attribute the
+    torch Vocoder holds its generator under).  Weight-normed convs
+    (`weight_v`/`weight_g`) are fused; plain `weight` passes through.
+    Returns (params, unmatched_names)."""
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k[len("model."):] if k.startswith("model.") else k] = v
+
+    name_map = vocoder_name_map(cfg)
+    params = {}
+    matched = set()
+
+    def put(flax_name, leaf, value):
+        params.setdefault(flax_name, {})[leaf] = value
+
+    for prefix, (flax_name, kind) in name_map.items():
+        tr = conv1d_transpose_kernel if kind == "convT1d" else conv1d_kernel
+        if f"{prefix}.weight_v" in sd:
+            w = fuse_weight_norm(sd[f"{prefix}.weight_v"], sd[f"{prefix}.weight_g"])
+            matched.update({f"{prefix}.weight_v", f"{prefix}.weight_g"})
+        elif f"{prefix}.weight" in sd:
+            w = _to_np(sd[f"{prefix}.weight"])
+            matched.add(f"{prefix}.weight")
+        else:
+            continue
+        put(flax_name, "kernel", tr(w))
+        if f"{prefix}.bias" in sd:
+            put(flax_name, "bias", _to_np(sd[f"{prefix}.bias"]))
+            matched.add(f"{prefix}.bias")
+
+    unmatched = [k for k in sd if k not in matched]
+    if wrap_model:
+        params = {"model": params}
+    return params, unmatched
 
 
 def torch_state_dict_to_flax(state_dict, extra_rules=None):

@@ -24,7 +24,7 @@ import flax.linen as nn
 from ssr_eval_tpu.dsp.spectral import StftConfig, stft_magnitude
 from ssr_eval_tpu.models.mel import MelScale
 from ssr_eval_tpu.models.unet import UNetRes
-from ssr_eval_tpu.models.vocoder import HiFiGANVocoder
+from ssr_eval_tpu.models.vocoder import HiFiGANVocoder, TFGANConfig, Vocoder
 
 NVSR_STFT = StftConfig(n_fft=2048, hop=441)
 
@@ -112,10 +112,18 @@ class NVSR(nn.Module):
     n_mels: int = 128
     sample_rate: int = 44100
     dtype: object = None  # model computation dtype (e.g. jnp.bfloat16)
+    # "tfgan": voicefixer-structure vocoder (reference parity, converted
+    # checkpoints land here); "hifigan": the framework's native generator.
+    vocoder_name: str = "tfgan"
 
     def setup(self):
         self.generator = Generator(self.model_name, self.n_mels, dtype=self.dtype)
-        self.vocoder = HiFiGANVocoder(n_mels=self.n_mels, dtype=self.dtype)
+        if self.vocoder_name == "tfgan":
+            self.vocoder = Vocoder(TFGANConfig(n_mels=self.n_mels), dtype=self.dtype)
+        elif self.vocoder_name == "hifigan":
+            self.vocoder = HiFiGANVocoder(n_mels=self.n_mels, dtype=self.dtype)
+        else:
+            raise ValueError(f"unknown vocoder {self.vocoder_name!r}")
         self._mel = MelScale(
             n_mels=self.n_mels, sample_rate=self.sample_rate, n_stft=NVSR_STFT.n_bins
         )

@@ -112,6 +112,33 @@ class NVSRTestee(BatchedTestee):
 
         return torch_nvsr_to_flax(path, self.model)
 
+    def load_vocoder_checkpoint(self, path, cfg=None):
+        """Graft a voicefixer-structure vocoder state dict (torch) into
+        the model's vocoder subtree (convert.vocoder_state_dict_to_flax).
+        Returns the list of unmatched tensor names (empty on full match)."""
+        import torch
+
+        from ssr_eval_tpu.models.convert import vocoder_state_dict_to_flax
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict):
+            for k in ("state_dict", "generator", "model"):
+                if k in sd and isinstance(sd[k], dict):
+                    sd = sd[k]
+                    break
+        params, unmatched = vocoder_state_dict_to_flax(sd, cfg, wrap_model=True)
+        if unmatched:
+            print(
+                f"[convert] vocoder: {len(unmatched)} unmatched tensors: "
+                f"{unmatched[:5]} ..."
+            )
+        v = dict(self.variables)
+        p = dict(v.get("params", {}))
+        p["vocoder"] = params
+        v["params"] = p
+        self.variables = v
+        return unmatched
+
     # -- the fused device path ------------------------------------------
 
     def _mel_of(self, x, lengths, state):

@@ -1,24 +1,123 @@
-"""TPU-native neural vocoder: mel [B, T, 128] -> waveform [B, T*441].
+"""TPU-native neural vocoders: mel [B, T, 128] -> waveform [B, T*441].
 
 The reference NVSR relies on voicefixer's pretrained 44.1 kHz vocoder
-(nvsr_unet.py:84; a pip-only torch package).  This module provides the
-framework's native vocoder as a HiFiGAN-style generator whose upsampling
-factorizes the 441-sample hop (441 = 7*7*3*3), designed for XLA: big
-dilated 1-D convs (MXU-friendly), static shapes, no weight-norm runtime
-reparameterization (weights are pre-fused at conversion time).
+(reference examples/NVSR/nvsr_unet.py:84, requirements.txt pins
+voicefixer==0.0.17; a pip-only torch package).  Two generators live here:
 
-Weight-porting note (PARITY.md): reproducing the reference's exact 0.84
-LSD row additionally requires converting the voicefixer vocoder
-checkpoint; `models/convert.py` handles arbitrary torch->flax conv
-mappings once that state dict is supplied.
+- `TFGANGenerator` / `Vocoder`: a Flax port of the voicefixer vocoder's
+  *structure* — a TFGAN/MelGAN-family generator: weight-normed Conv1d
+  prenet, four ConvTranspose1d upsampling stages factorizing the
+  441-sample hop (441 = 7*7*3*3, each trimmed to exactly L*r as
+  voicefixer's UpsampleNet does), a dilated residual stack after each
+  stage, and a tanh'd Conv1d head.  Weight norm is fused at conversion
+  time (models/convert.py: vocoder_state_dict_to_flax) so the TPU program
+  sees plain convs.  The structure is reconstructed from the voicefixer
+  architecture family (the package has no JAX equivalent and its source
+  is unavailable offline); channel widths / dilations are config so the
+  name map adapts if the real checkpoint's shapes differ — see PARITY.md
+  deviation 3.
+- `HiFiGANVocoder`: the framework's own native option (HiFiGAN-style MRF
+  generator), kept for training-from-scratch use.
+
+Both are XLA-first: big 1-D convs (MXU-friendly), static shapes, no
+runtime reparameterization.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class TFGANConfig:
+    """voicefixer-structure vocoder hyperparameters (44.1 kHz preset).
+
+    The mel front-end constants follow the tacotron-style normalization
+    voicefixer applies before its generator (amp->db, clip to
+    [-max_abs, max_abs]); they are data-independent scalars, safe to
+    adjust when the real checkpoint's config is inspected.
+    """
+
+    n_mels: int = 128
+    channels: int = 512
+    ratios: Sequence[int] = (7, 7, 3, 3)
+    res_dilations: Sequence[int] = (1, 3, 9)
+    leaky: float = 0.2
+    # mel normalization (voicefixer vocoder front end)
+    min_db: float = -115.0
+    max_abs: float = 4.0
+    ref_db: float = 20.0
+
+
+def normalize_mel(mel, cfg: TFGANConfig):
+    """Linear mel -> normalized generator conditioning (amp->db->[-A, A])."""
+    db = 20.0 * jnp.log10(jnp.clip(mel, min=1e-5)) - cfg.ref_db
+    s = (2.0 * cfg.max_abs) * ((db - cfg.min_db) / (-cfg.min_db)) - cfg.max_abs
+    return jnp.clip(s, -cfg.max_abs, cfg.max_abs)
+
+
+class TFGANGenerator(nn.Module):
+    """Conditioning [B, T, n_mels] -> waveform [B, T * prod(ratios)].
+
+    Module names (`pre`, `up_i`, `res_i_j_d`, `res_i_j_p`, `post`) are the
+    contract with convert.vocoder_name_map — the torch Sequential indices
+    of the voicefixer generator map onto them 1:1.
+    """
+
+    cfg: TFGANConfig = TFGANConfig()
+    dtype: object = None  # computation dtype; params stay float32
+
+    @nn.compact
+    def __call__(self, cond):
+        cfg = self.cfg
+        a = cfg.leaky
+        x = nn.Conv(cfg.channels, (7,), padding="SAME", dtype=self.dtype,
+                    name="pre")(cond)
+        ch = cfg.channels
+        for i, r in enumerate(cfg.ratios):
+            ch //= 2
+            x = nn.leaky_relu(x, negative_slope=a)
+            # torch ConvTranspose1d(k=2r, stride=r, padding=r//2) trims
+            # r//2 from both ends of the VALID output; UpsampleNet then
+            # cuts to exactly L*r.  Together: VALID output[p : p + L*r].
+            L = x.shape[1]
+            p = r // 2
+            x = nn.ConvTranspose(
+                ch, (2 * r,), strides=(r,), padding="VALID",
+                dtype=self.dtype, name=f"up_{i}",
+            )(x)[:, p : p + L * r, :]
+            for j, d in enumerate(cfg.res_dilations):
+                h = nn.leaky_relu(x, negative_slope=a)
+                h = jnp.pad(h, ((0, 0), (d, d), (0, 0)), mode="reflect")
+                h = nn.Conv(ch, (3,), kernel_dilation=(d,), padding="VALID",
+                            dtype=self.dtype, name=f"res_{i}_{j}_d")(h)
+                h = nn.leaky_relu(h, negative_slope=a)
+                h = nn.Conv(ch, (1,), dtype=self.dtype, name=f"res_{i}_{j}_p")(h)
+                x = x + h
+        x = nn.leaky_relu(x, negative_slope=a)
+        x = nn.Conv(1, (7,), padding="SAME", dtype=self.dtype, name="post")(x)
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]
+
+
+class Vocoder(nn.Module):
+    """voicefixer-shaped wrapper: linear mel in, waveform out.
+
+    Mirrors voicefixer's `Vocoder.forward` (normalize mel, then the
+    generator under the `model` attribute — kept as the flax submodule
+    name so converted checkpoints land in the same tree position).
+    """
+
+    cfg: TFGANConfig = TFGANConfig()
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, mel):
+        cond = normalize_mel(mel, self.cfg)
+        return TFGANGenerator(self.cfg, dtype=self.dtype, name="model")(cond)
 
 
 class ResBlock1(nn.Module):
