@@ -1,0 +1,151 @@
+"""Cooley-Tukey FFT as MXU matmuls + static butterflies (TPU-first).
+
+XLA's generic FFT lowering is slow on TPU, and a dense rDFT matmul does
+n_fft * n_bins MACs per frame (the round-1 design).  This module factors a
+power-of-2 FFT as
+
+    N = 2^L * M   (M = 128: one perfect MXU tile)
+
+- the 2^L interleaved leaf sequences (bit-reversed order) go through ONE
+  batched [*, M] @ [M, M] DFT matmul pair (cos/sin), a shape the 128x128
+  systolic array runs at full utilization;
+- L radix-2 butterfly levels with precomputed f64->f32 twiddles combine
+  them — pure VPU elementwise work that XLA fuses.
+
+FLOPs per frame drop from N*(N/2+1)*4 (dense rDFT) to N*M*4 + O(L*N):
+~8x fewer at N=2048, while every matmul stays MXU-shaped.  Used by
+dsp.spectral for power-of-2 sizes; non-power-of-2 metric sizes (2229 @
+48 kHz) keep the dense-DFT path.
+
+Accuracy: twiddles and base matrices are built in float64 and cast to
+f32; matmuls run at Precision.HIGHEST.  Agreement with np.fft.rfft is
+~1e-7 relative (tests/test_spectral.py::test_ct_fft_*).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_BASE = 128
+_HI = jax.lax.Precision.HIGHEST
+
+
+def ct_levels(n_fft: int, base: int = _BASE):
+    """Number of radix-2 levels L with n_fft = 2^L * base, or None if the
+    factorization does not apply (non-pow2 or n_fft < base)."""
+    L = 0
+    n = n_fft
+    while n > base and n % 2 == 0:
+        n //= 2
+        L += 1
+    return L if n == base else None
+
+
+@functools.lru_cache(maxsize=8)
+def _bitrev(L: int) -> np.ndarray:
+    n = 1 << L
+    out = np.zeros(n, np.int32)
+    for s in range(n):
+        r, v = 0, s
+        for _ in range(L):
+            r = (r << 1) | (v & 1)
+            v >>= 1
+        out[s] = r
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _base_dft(M: int) -> tuple[np.ndarray, np.ndarray]:
+    """Full complex DFT matrices [M, M] (e^{-2*pi*i*n*k/M}), f64 -> f32."""
+    n = np.arange(M, dtype=np.float64)[:, None]
+    k = np.arange(M, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * n * k / M
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _twiddle(P: int) -> tuple[np.ndarray, np.ndarray]:
+    """e^{-2*pi*i*k/(2P)} for k in [0, P), f64 -> f32."""
+    k = np.arange(P, dtype=np.float64)
+    ang = -np.pi * k / P
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _leaves(x: jnp.ndarray, L: int, M: int) -> jnp.ndarray:
+    """[..., N] -> [..., 2^L, M] leaf sequences in bit-reversed order.
+
+    Leaf r holds x[r::2^L]; the combine tree consumes leaves in
+    bit-reversed order (standard iterative radix-2 DIT)."""
+    G = 1 << L
+    lead = x.shape[:-1]
+    xt = x.reshape(*lead, M, G)
+    xt = jnp.swapaxes(xt, -1, -2)  # [..., G, M], axis -2 indexed by r
+    return jnp.take(xt, jnp.asarray(_bitrev(L)), axis=-2)
+
+
+def _combine(re, im, L: int, M: int):
+    """L radix-2 butterfly levels over [..., 2^L, M] -> [..., N]."""
+    G, P = 1 << L, M
+    lead = re.shape[:-2]
+    for _ in range(L):
+        re = re.reshape(*lead, G // 2, 2, P)
+        im = im.reshape(*lead, G // 2, 2, P)
+        e_re, o_re = re[..., 0, :], re[..., 1, :]
+        e_im, o_im = im[..., 0, :], im[..., 1, :]
+        twr_np, twi_np = _twiddle(P)
+        twr, twi = jnp.asarray(twr_np), jnp.asarray(twi_np)
+        t_re = twr * o_re - twi * o_im
+        t_im = twr * o_im + twi * o_re
+        re = jnp.concatenate([e_re + t_re, e_re - t_re], axis=-1)
+        im = jnp.concatenate([e_im + t_im, e_im - t_im], axis=-1)
+        G //= 2
+        P *= 2
+    return re.reshape(*lead, P), im.reshape(*lead, P)
+
+
+def fft_ct(zr: jnp.ndarray, zi, n_fft: int, base: int = _BASE):
+    """Forward complex FFT of [..., n_fft] -> (real, imag) [..., n_fft].
+
+    zi=None treats the input as real (halves the base matmuls)."""
+    L = ct_levels(n_fft, base)
+    assert L is not None, n_fft
+    M = n_fft >> L
+    cr_np, ci_np = _base_dft(M)
+    cr, ci = jnp.asarray(cr_np), jnp.asarray(ci_np)
+    lr = _leaves(zr, L, M)
+    if zi is None:
+        re = jnp.dot(lr, cr, preferred_element_type=jnp.float32, precision=_HI)
+        im = jnp.dot(lr, ci, preferred_element_type=jnp.float32, precision=_HI)
+    else:
+        li = _leaves(zi, L, M)
+        re = jnp.dot(lr, cr, preferred_element_type=jnp.float32, precision=_HI) - jnp.dot(
+            li, ci, preferred_element_type=jnp.float32, precision=_HI
+        )
+        im = jnp.dot(lr, ci, preferred_element_type=jnp.float32, precision=_HI) + jnp.dot(
+            li, cr, preferred_element_type=jnp.float32, precision=_HI
+        )
+    return _combine(re, im, L, M)
+
+
+def rfft_ct(x: jnp.ndarray, n_fft: int, base: int = _BASE):
+    """Real-input FFT -> (real, imag) [..., n_fft//2 + 1]."""
+    re, im = fft_ct(x, None, n_fft, base)
+    nb = n_fft // 2 + 1
+    return re[..., :nb], im[..., :nb]
+
+
+def irfft_ct(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, base: int = _BASE):
+    """Inverse of rfft_ct: hermitian half-spectrum [..., n_fft//2+1] ->
+    real signal [..., n_fft].
+
+    Uses irfft(Z) = Re(FFT(conj(Z_full))) / N with the hermitian
+    extension Z_full[N-k] = conj(Z[k])."""
+    ext_re = jnp.concatenate([real, real[..., -2:0:-1]], axis=-1)
+    ext_im = jnp.concatenate([-imag, imag[..., -2:0:-1]], axis=-1)
+    yr, _ = fft_ct(ext_re, ext_im, n_fft, base)
+    return yr / n_fft

@@ -84,16 +84,12 @@ def fused_stft_magnitude(
     contract as dsp.spectral.stft_real_imag).
     Returns [max_frames, n_bins], n_bins = n_fft//2 + 1.
     """
+    from ssr_eval_tpu.dsp.spectral import frame_slabs
+
     n_bins = n_fft // 2 + 1
     n_bins_pad = _round_up(n_bins, FREQ_TILE)
     mf_pad = _round_up(max_frames, FRAME_TILE)
-    need = (mf_pad - 1) * hop + n_fft
-    if ext.shape[0] < need:
-        ext = jnp.pad(ext, (0, need - ext.shape[0]))
-
-    starts = jnp.arange(mf_pad, dtype=jnp.int32)[:, None] * hop
-    offs = jnp.arange(n_fft, dtype=jnp.int32)[None, :]
-    frames = ext[starts + offs]  # XLA gather (see module docstring)
+    frames = frame_slabs(ext, hop, n_fft, mf_pad)  # static slices, no gather
 
     wr, wi = _padded_dft(n_fft, n_bins_pad)
     out = pl.pallas_call(

@@ -131,3 +131,60 @@ def test_fdomain_subband():
     assert sps.shape[3] == 513
     y = f.spectrogram_phase_to_wav(sps, coss, sins, L)
     np.testing.assert_allclose(y[0, 0, 1024:-1024], x[0, 0, 1024:-1024], atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Cooley-Tukey matmul FFT (dsp/fft_matmul.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ct_fft_matches_numpy_rfft():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ssr_eval_tpu.dsp.fft_matmul import ct_levels, rfft_ct
+
+    rng = np.random.default_rng(0)
+    for n in (128, 256, 1024, 2048):
+        assert ct_levels(n) is not None
+        x = rng.standard_normal((2, 5, n)).astype(np.float32)
+        re, im = rfft_ct(jnp.asarray(x), n)
+        ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+        scale = np.abs(ref).max()
+        assert np.max(np.abs(np.asarray(re) - ref.real)) / scale < 1e-6
+        assert np.max(np.abs(np.asarray(im) - ref.imag)) / scale < 1e-6
+
+
+def test_ct_irfft_roundtrip():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ssr_eval_tpu.dsp.fft_matmul import irfft_ct, rfft_ct
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, 2048)).astype(np.float32)
+    re, im = rfft_ct(jnp.asarray(x), 2048)
+    y = irfft_ct(re, im, 2048)
+    assert np.max(np.abs(np.asarray(y) - x)) < 2e-6
+
+
+def test_ct_levels_non_pow2_none():
+    from ssr_eval_tpu.dsp.fft_matmul import ct_levels
+
+    assert ct_levels(2229) is None  # 48 kHz metric size -> dense DFT path
+    assert ct_levels(743) is None
+    assert ct_levels(64) is None  # below the MXU base tile
+
+
+def test_frame_slabs_equals_gather():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ssr_eval_tpu.dsp.spectral import frame_slabs
+
+    rng = np.random.default_rng(2)
+    hop, n_fft, mf = 441, 2048, 9
+    ext = rng.standard_normal(hop * (mf - 1) + n_fft).astype(np.float32)
+    got = np.asarray(frame_slabs(jnp.asarray(ext), hop, n_fft, mf))
+    want = np.stack([ext[i * hop : i * hop + n_fft] for i in range(mf)])
+    np.testing.assert_array_equal(got, want)
