@@ -208,8 +208,9 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
   return !br.fail;
 }
 
-int decode_flac_buf(const uint8_t* buf, size_t size, float** out, int64_t* n_samples,
-                    int* n_channels, int* sample_rate) {
+int decode_flac_ints(const uint8_t* buf, size_t size, std::vector<int32_t>& pcm,
+                     int64_t* n_samples, int* n_channels, int* sample_rate,
+                     int* bits) {
   if (size < 8 || memcmp(buf, "fLaC", 4) != 0) return -1;
   size_t pos = 4;
   int sr = 0, channels = 0, bps = 0;
@@ -230,12 +231,11 @@ int decode_flac_buf(const uint8_t* buf, size_t size, float** out, int64_t* n_sam
   }
   if (sr == 0 || channels == 0) return -2;
 
-  std::vector<float> pcm;
+  pcm.clear();
   pcm.reserve(1 << 20);
   BitReader br(buf, size, pos);
   std::vector<std::vector<int64_t>> subs(channels);
   int64_t total = 0;
-  float scale = 1.0f / (float)(1ll << (bps - 1));
   while (br.byte_position() + 2 < size) {
     uint32_t sync = br.read(14);
     if (sync != 0x3FFE) break;
@@ -293,16 +293,27 @@ int decode_flac_buf(const uint8_t* buf, size_t size, float** out, int64_t* n_sam
     pcm.resize(base + (size_t)block_size * n_ch);
     for (int i = 0; i < block_size; i++)
       for (int c = 0; c < n_ch; c++)
-        pcm[base + (size_t)i * n_ch + c] = (float)subs[c][i] * scale;
+        pcm[base + (size_t)i * n_ch + c] = (int32_t)subs[c][i];
     total += block_size;
   }
-  float* mem = (float*)malloc(pcm.size() * sizeof(float));
-  if (!mem) return -7;
-  memcpy(mem, pcm.data(), pcm.size() * sizeof(float));
-  *out = mem;
   *n_samples = total;
   *n_channels = channels;
   *sample_rate = sr;
+  *bits = bps;
+  return 0;
+}
+
+int decode_flac_buf(const uint8_t* buf, size_t size, float** out, int64_t* n_samples,
+                    int* n_channels, int* sample_rate) {
+  std::vector<int32_t> pcm;
+  int bps = 0;
+  int rc = decode_flac_ints(buf, size, pcm, n_samples, n_channels, sample_rate, &bps);
+  if (rc != 0) return rc;
+  float* mem = (float*)malloc(pcm.size() * sizeof(float));
+  if (!mem) return -7;
+  float scale = 1.0f / (float)(1ll << (bps - 1));
+  for (size_t i = 0; i < pcm.size(); i++) mem[i] = (float)pcm[i] * scale;
+  *out = mem;
   return 0;
 }
 
@@ -471,6 +482,26 @@ int ssrio_decode_flac(const char* path, float** out, int64_t* n_samples,
   if (!read_file(path, buf)) return -100;
   return decode_flac_buf(buf.data(), buf.size(), out, n_samples, n_channels,
                          sample_rate);
+}
+
+// 16-bit fast path: raw PCM without the float round trip (halves the
+// wire bytes host->device and skips the harness's requantization check).
+// Returns -8 when the stream is not 16-bit; callers fall back to floats.
+int ssrio_decode_flac_i16(const char* path, int16_t** out, int64_t* n_samples,
+                          int* n_channels, int* sample_rate) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, buf)) return -100;
+  std::vector<int32_t> pcm;
+  int bps = 0;
+  int rc = decode_flac_ints(buf.data(), buf.size(), pcm, n_samples, n_channels,
+                            sample_rate, &bps);
+  if (rc != 0) return rc;
+  if (bps != 16) return -8;
+  int16_t* mem = (int16_t*)malloc(pcm.size() * sizeof(int16_t));
+  if (!mem) return -7;
+  for (size_t i = 0; i < pcm.size(); i++) mem[i] = (int16_t)pcm[i];
+  *out = mem;
+  return 0;
 }
 
 int ssrio_encode_flac(const char* path, const float* data, int64_t n_samples,

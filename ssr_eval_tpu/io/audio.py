@@ -154,6 +154,58 @@ def decode_audio(path):
     raise ValueError(f"{path}: unsupported audio container (magic {magic!r})")
 
 
+def read_wav_i16(path):
+    """16-bit PCM WAV fast path -> (int16 [n] or [n, ch], sr), or None.
+
+    Skips the int->float->int round trip for the common case (VCTK and
+    the harness's own artifacts are 16-bit): the engine ships int16
+    straight to the device, which rescales in the compiled program."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", raw[pos + 8 : pos + 24])
+        elif cid == b"data":
+            data = raw[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    audio_fmt, n_ch, sr, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        return None
+    x = np.frombuffer(data, dtype="<i2")
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch)
+    return x, sr
+
+
+def decode_audio_i16(path):
+    """16-bit fast path for any supported container -> (int16, sr) or None
+    (non-16-bit sources; callers fall back to `decode_audio`)."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"RIFF":
+        return read_wav_i16(path)
+    if magic == b"fLaC":
+        nat = _native_flac()
+        if nat is not None and hasattr(nat, "decode_i16"):
+            return nat.decode_i16(path)
+        from ssr_eval_tpu.io.flac_py import decode_flac
+
+        data, sr, bps = decode_flac(path, raw=True)
+        if bps != 16:
+            return None
+        return data.astype(np.int16), sr
+    raise ValueError(f"{path}: unsupported audio container (magic {magic!r})")
+
+
 def load(path, sr=None, mono=True, res_type="polyphase"):
     """librosa.load-compatible decode (mono mixdown, optional resample).
 

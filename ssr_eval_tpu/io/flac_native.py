@@ -35,6 +35,14 @@ _lib.ssrio_encode_flac.argtypes = [
     ctypes.c_int,
     ctypes.c_int,
 ]
+_lib.ssrio_decode_flac_i16.restype = ctypes.c_int
+_lib.ssrio_decode_flac_i16.argtypes = [
+    ctypes.c_char_p,
+    ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+    ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_int),
+    ctypes.POINTER(ctypes.c_int),
+]
 _lib.ssrio_free.restype = None
 _lib.ssrio_free.argtypes = [ctypes.c_void_p]
 
@@ -48,6 +56,30 @@ def decode(path: str):
     rc = _lib.ssrio_decode_flac(
         path.encode(), ctypes.byref(out), ctypes.byref(n), ctypes.byref(ch), ctypes.byref(sr)
     )
+    if rc != 0:
+        raise ValueError(f"ssrio: FLAC decode failed for {path} (rc={rc})")
+    try:
+        count = n.value * ch.value
+        arr = np.ctypeslib.as_array(out, shape=(count,)).copy()
+    finally:
+        _lib.ssrio_free(out)
+    if ch.value > 1:
+        arr = arr.reshape(-1, ch.value)
+    return arr, sr.value
+
+
+def decode_i16(path: str):
+    """16-bit fast path: -> (int16 [n] or [n, ch], sample_rate), or None
+    when the stream is not 16-bit (caller falls back to float decode)."""
+    out = ctypes.POINTER(ctypes.c_int16)()
+    n = ctypes.c_int64()
+    ch = ctypes.c_int()
+    sr = ctypes.c_int()
+    rc = _lib.ssrio_decode_flac_i16(
+        path.encode(), ctypes.byref(out), ctypes.byref(n), ctypes.byref(ch), ctypes.byref(sr)
+    )
+    if rc == -8:
+        return None
     if rc != 0:
         raise ValueError(f"ssrio: FLAC decode failed for {path} (rc={rc})")
     try:

@@ -177,7 +177,8 @@ def _decode_subframe(br: BitReader, block_size: int, bps: int):
     return x
 
 
-def decode_flac(path):
+def decode_flac(path, raw=False):
+    """-> (float32 in [-1,1], sr); with raw=True -> (int array, sr, bps)."""
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:4] != b"fLaC":
@@ -268,6 +269,10 @@ def decode_flac(path):
         if br.byte_position() >= len(buf) - 2:
             break
     data = np.concatenate(chunks, axis=0)
+    if raw:
+        if data.shape[1] == 1:
+            data = data[:, 0]
+        return data, sr, bps
     x = data.astype(np.float32) / float(1 << (bps - 1))
     if x.shape[1] == 1:
         x = x[:, 0]
