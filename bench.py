@@ -1,21 +1,33 @@
 """Benchmark: utterance-evaluation throughput on the VCTK LSD sweep.
 
 Runs the full evaluation pipeline (decode -> degrade(fft sweep) ->
-identity testee -> metrics x4) on real hardware through the public
-harness, and compares against the NumPy/SciPy float64 reference
-implementation of the same pipeline (what the upstream ssr_eval does via
-librosa/scipy/torch on CPU).
+testee -> metrics x4) on real hardware through the public harness and
+compares against a float64 NumPy/SciPy implementation of the reference
+pipeline (what upstream ssr_eval does via librosa/scipy/torch on CPU —
+deliberately conservative: the actual upstream additionally pays a sox
+subprocess per file and a per-channel Python SSIM loop).
 
 Prints ONE JSON line:
   {"metric": "utterances/sec/chip (VCTK fft-sweep eval)",
    "value": ..., "unit": "utt/s/chip", "vs_baseline": ...}
 
-`vs_baseline` = our throughput / reference-CPU throughput, per chip.
-The baseline is deliberately conservative: it is a *vectorized* NumPy
-implementation of the reference pipeline; the actual upstream additionally
-pays a sox subprocess per file, torch conv1d STFTs, and a per-channel
-Python SSIM loop, so true upstream throughput is lower than this baseline.
-Also records per-cutoff |delta LSD| vs. the float32-input oracle.
+Sections recorded in "detail" (VERDICT r1 tasks 2/3/4/6/9):
+- headline: identity testee, FULL 2-32 kHz input-rate sweep (cutoffs
+  1/2/4/6/8/12/16 kHz), best-of-N passes, disjoint per-stage seconds
+  (decode / compile / dispatch / drain sum to ~the pass wall time).
+- accuracy: per-cutoff |dLSD| across the full sweep with a
+  well-conditioned (broadband-noise) testee vs the float64 oracle, plus
+  a device-vs-host_float64 engine cross-check.
+- nvsr: flagship-model line (random weights) — utt/s/chip + per-cutoff
+  mean LSD through the fused engine.
+- iir_subsampling_matrix: mixed-family sweep throughput (default-on).
+- pallas_ab: fused Pallas dense-DFT |STFT| kernel vs the XLA
+  Cooley-Tukey path, ms per 8x266k batch.
+- v5e8_extrapolated: vs_baseline x 8. Utterance-sweep evaluation is
+  embarrassingly parallel over the 'data' mesh axis (no cross-chip
+  collectives in the compiled program); the 8-way sharded path is
+  validated on the virtual CPU mesh (tests/test_parallel.py) and by the
+  driver's dryrun_multichip.
 """
 
 from __future__ import annotations
@@ -29,20 +41,25 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
-N_UTTS = 64
+N_UTTS = 192
 UTT_SECONDS = 6.0
 SR = 44100
-CUTOFFS = [1000, 2000, 4000, 8000, 12000]  # reference NVSR sweep (main.py:171)
-BATCH = 8
+# Reference sweep (README.md:111 / BASELINE.md): input rates 2-32 kHz,
+# i.e. cutoffs 1-16 kHz at 44.1 kHz.
+CUTOFFS = [1000, 2000, 4000, 6000, 8000, 12000, 16000]
+BATCH = 16
+PASSES = 5
+N_BASE = 6  # CPU-baseline / accuracy subsample
 
 
-def _make_dataset(root):
+def _make_dataset(root, n):
     from ssr_eval_tpu.harness.fixtures import speechlike
     from ssr_eval_tpu.io.audio import write_wav
 
     paths = []
-    for i in range(N_UTTS):
+    for i in range(n):
         x = speechlike(UTT_SECONDS, SR, seed=1000 + i)
         p = os.path.join(root, f"utt_{i:03d}.wav")
         write_wav(p, x, SR)
@@ -50,29 +67,24 @@ def _make_dataset(root):
     return paths
 
 
-def _oracle_eval_one(path, cutoffs):
-    """The reference pipeline for one utterance, at float32 working
-    precision — matching what the upstream actually computes (its fft-mask
-    degradation runs through torch float32 STFTs, and librosa spectrograms
-    of float32 audio are float32).  A float64 oracle is *stricter than the
-    reference itself* in noise-floor-dominated masked bands; PARITY.md
-    quantifies this."""
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+def _f64_pipeline_one(path, cutoffs, noise=None):
+    """The reference pipeline for one utterance in float64 (oracle)."""
     from oracles import istft_np, lsd_np, sispec_np, ssim_np, stft_np
+
     from ssr_eval_tpu.io.audio import decode_audio
 
-    x, sr = decode_audio(path)
-    x = x.astype(np.float32)
-    out = {}
+    x, _ = decode_audio(path)
+    x = x.astype(np.float64)
     hop, n_fft = int(SR / 100), int(2048 / (44100 / SR))
-    f32 = np.float32
-    tgt_sp = np.abs(stft_np(x, n_fft, hop, dtype=f32)).T
+    tgt_sp = np.abs(stft_np(x, n_fft, hop)).T
+    out = {}
     for c in cutoffs:
-        Z = stft_np(x, 2048, 441, dtype=f32)
-        cut = int(1025 * (c / int(SR / 2)))
-        Z[cut:, :] = 0.0
-        est = istft_np(Z, 2048, 441, length=len(x), dtype=f32)
-        est_sp = np.abs(stft_np(est, n_fft, hop, dtype=f32)).T
+        Z = stft_np(x, 2048, 441)
+        Z[int(1025 * (c / int(SR / 2))) :, :] = 0.0
+        est = istft_np(Z, 2048, 441, length=len(x))
+        if noise is not None:
+            est = est + noise.astype(np.float64)[np.arange(len(est)) % noise.shape[0]]
+        est_sp = np.abs(stft_np(est, n_fft, hop)).T
         out[f"proc_fft_{2 * c}_{SR}"] = {
             "lsd": lsd_np(est_sp, tgt_sp),
             "log_sispec": sispec_np(
@@ -84,76 +96,16 @@ def _oracle_eval_one(path, cutoffs):
     return out
 
 
-def main():
-    from ssr_eval_tpu.utils.jaxcache import enable_persistent_cache
-
-    enable_persistent_cache()
-    import jax
-
-    from ssr_eval_tpu.harness.engine import EvalEngine
-    from ssr_eval_tpu.harness.testee import BatchedTestee
-    from ssr_eval_tpu.degrade.plan import expand_settings
-
-    n_chips = len(jax.devices())
-    tmp = tempfile.mkdtemp(prefix="ssr_bench_")
-    paths = _make_dataset(tmp)
-
-    specs = expand_settings(
-        setting_fft={"cutoff_freq": [2 * c for c in CUTOFFS]}, sr=SR
-    )
-    engine = EvalEngine(
-        specs,
-        input_sr=SR,
-        output_sr=SR,
-        evaluation_sr=SR,
-        testee=BatchedTestee(),
-        batch_size=BATCH,
-    )
-
-    # Warmup: compile every (spec, bucket) program.
-    warm = engine.evaluate_files(paths[:BATCH])
-
-    # The tunnel's throughput is noisy; take the best of three passes
-    # (standard steady-state benchmarking practice).
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        results = engine.evaluate_files(paths)
-        runs.append(time.perf_counter() - t0)
-    elapsed = min(runs)
-    thr = len(paths) / elapsed / n_chips
-
-    # Reference-CPU baseline on a subsample, extrapolated per utterance.
-    n_base = 3
-    t0 = time.perf_counter()
-    oracle = {p: _oracle_eval_one(p, CUTOFFS) for p in paths[:n_base]}
-    base_elapsed = (time.perf_counter() - t0) / n_base
-    base_thr = 1.0 / base_elapsed
-
-    # Numerical agreement vs. the float32 reference-equivalent oracle.
-    # Deep-cutoff configs are rounding-floor-dominated in the masked bands
-    # (PARITY.md deviation 4): ANY two float32 implementations disagree
-    # there, so per-cutoff deltas are reported alongside the max.
-    max_dlsd = 0.0
-    per_key_dlsd = {}
-    for p in paths[:n_base]:
-        for key, ref in oracle[p].items():
-            d = abs(results[p][key]["lsd"] - ref["lsd"])
-            per_key_dlsd[key] = max(per_key_dlsd.get(key, 0.0), d)
-            max_dlsd = max(max_dlsd, d)
-
-    # Well-conditioned numerical agreement: identity-testee LSD in masked
-    # bands is float-floor-dominated (PARITY.md dev. 4), so ALSO measure
-    # ΔLSD with a broadband-floor testee where est spectra sit far above
-    # any rounding floor — the correctness-meaningful number.
+def _make_noisy_testee(noise):
     import jax.numpy as jnp
 
-    from ssr_eval_tpu.harness.testee import BatchedTestee as _BT
+    from ssr_eval_tpu.harness.testee import BatchedTestee
 
-    rng_noise = np.random.default_rng(777)
-    noise = (1e-3 * rng_noise.standard_normal(1 << 17)).astype(np.float32)
+    class NoisyTestee(BatchedTestee):
+        """Broadband-floor testee: est spectra sit far above any rounding
+        floor, so dLSD vs the f64 oracle is correctness-meaningful
+        (PARITY.md deviation 4)."""
 
-    class NoisyTestee(_BT):
         def device_state(self):
             return jnp.asarray(noise)
 
@@ -164,75 +116,230 @@ def main():
             )
             return x.astype(jnp.float32) + state[idx][None, :] * mask, lengths
 
-    eng_wc = EvalEngine(
-        specs[:2], input_sr=SR, output_sr=SR, evaluation_sr=SR,
-        testee=NoisyTestee(), batch_size=BATCH,
+    return NoisyTestee()
+
+
+def _engine(specs, testee, batch=BATCH, **kw):
+    from ssr_eval_tpu.harness.engine import EvalEngine
+
+    return EvalEngine(
+        specs, input_sr=SR, output_sr=SR, evaluation_sr=SR,
+        testee=testee, batch_size=batch, **kw,
     )
-    r_wc = eng_wc.evaluate_files(paths[:n_base])
-    max_dlsd_wc = 0.0
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-    from oracles import istft_np, lsd_np, stft_np
-    from ssr_eval_tpu.io.audio import decode_audio
 
-    for p in paths[:n_base]:
-        x, _ = decode_audio(p)
-        x = x.astype(np.float64)
-        tgt_sp = np.abs(stft_np(x, int(2048 / (44100 / SR)), int(SR / 100))).T
-        for c in CUTOFFS[:2]:
-            Z = stft_np(x, 2048, 441)
-            Z[int(1025 * (c / int(SR / 2))):, :] = 0.0
-            est = istft_np(Z, 2048, 441, length=len(x))
-            idx = np.arange(len(est)) % noise.shape[0]
-            est = est + noise.astype(np.float64)[idx]
-            es = np.abs(stft_np(est, int(2048 / (44100 / SR)), int(SR / 100))).T
-            ref_lsd = lsd_np(es, tgt_sp)
-            got_lsd = r_wc[p][f"proc_fft_{2 * c}_{SR}"]["lsd"]
-            max_dlsd_wc = max(max_dlsd_wc, abs(got_lsd - ref_lsd))
 
-    extra = {"max_abs_dLSD_wellconditioned": round(max_dlsd_wc, 6)}
-    if os.environ.get("SSR_BENCH_FULL"):
-        # Extended configs (BASELINE #3): mixed IIR/subsampling matrix.
-        # Gated: their first-run tunnel compiles are several minutes.
-        mixed = expand_settings(
-            setting_lowpass_filtering={
-                "filter": ["cheby", "butter"],
-                "cutoff_freq": [8000, 16000],
-                "filter_order": [8],
-            },
-            setting_subsampling={"cutoff_freq": [8000]},
-            sr=SR,
-        )
-        eng2 = EvalEngine(
-            mixed, input_sr=SR, output_sr=SR, evaluation_sr=SR,
-            testee=BatchedTestee(), batch_size=BATCH,
-        )
-        eng2.evaluate_files(paths[:BATCH])  # warm
+def _timed_passes(engine, paths, passes=PASSES):
+    """Warm once, then best-of-N wall times + the best pass's stage delta."""
+    engine.evaluate_files(paths[: engine.batch_size])  # compile
+    best, best_stages, runs = None, None, []
+    for _ in range(passes):
+        before = dict(engine.stats.seconds)
         t0 = time.perf_counter()
-        eng2.evaluate_files(paths)
-        e2 = time.perf_counter() - t0
-        extra["iir_subsampling_matrix"] = {
-            "n_specs": len(mixed),
-            "utt_per_s_per_chip": round(len(paths) / e2 / n_chips, 3),
-        }
+        engine.evaluate_files(paths)
+        dt = time.perf_counter() - t0
+        runs.append(round(dt, 3))
+        if best is None or dt < best:
+            best = dt
+            after = dict(engine.stats.seconds)
+            best_stages = {
+                k: round(after.get(k, 0.0) - before.get(k, 0.0), 4) for k in after
+            }
+    return best, best_stages, runs
 
+
+def _pallas_ab():
+    """ms per 8x266k-batch |STFT|: Pallas dense-DFT kernel vs XLA CT path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssr_eval_tpu.dsp.spectral import StftConfig, stft_magnitude
+
+    B, L, mf = 8, 266240, 604
+    cfg = StftConfig(n_fft=2048, hop=441)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, L)).astype(np.float32)
+    )
+    n = jnp.full((B,), 264600, np.int32)
+    R = 10
+
+    def build():
+        @jax.jit
+        def run(x, n):
+            acc = jnp.float32(0)
+            for _ in range(R):
+                sp = jax.vmap(
+                    lambda xi, ni: stft_magnitude(xi + acc * 1e-20, ni, cfg, mf)
+                )(x, n)
+                acc = acc + sp[0, 0, 0]
+            return acc
+
+        return run
+
+    out = {}
+    for name, flag in (("xla_ct", "0"), ("pallas_dense_dft", "1")):
+        os.environ["SSR_EVAL_TPU_PALLAS"] = flag
+        f = build()
+        np.asarray(f(x, n))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            np.asarray(f(x, n))
+        out[name + "_ms"] = round((time.perf_counter() - t0) / 3 / R * 1e3, 2)
+    os.environ.pop("SSR_EVAL_TPU_PALLAS", None)
+    return out
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    from ssr_eval_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.testee import BatchedTestee
+
+    n_chips = len(jax.devices())
+    tmp = tempfile.mkdtemp(prefix="ssr_bench_")
+    paths = _make_dataset(tmp, N_UTTS)
+    specs = expand_settings(
+        setting_fft={"cutoff_freq": [2 * c for c in CUTOFFS]}, sr=SR
+    )
+
+    # ---- headline: identity testee, full sweep --------------------------
+    _log("headline: compiling + timing identity fft sweep")
+    eng = _engine(specs, BatchedTestee())
+    elapsed, stages, runs = _timed_passes(eng, paths)
+    results = eng.evaluate_files(paths[:N_BASE])  # for the oracle delta
+    thr = N_UTTS / elapsed / n_chips
+
+    # ---- CPU reference baseline (float64 NumPy, same sweep) -------------
+    _log("cpu baseline oracle")
+    t0 = time.perf_counter()
+    oracle = {p: _f64_pipeline_one(p, CUTOFFS) for p in paths[:N_BASE]}
+    base_utt_s = 1.0 / ((time.perf_counter() - t0) / N_BASE)
+
+    # identity-testee delta vs the f64 oracle (floor-dominated in masked
+    # bands — PARITY.md deviation 4; reported for transparency).
+    per_key_dlsd_id = {}
+    for p in paths[:N_BASE]:
+        for key, ref in oracle[p].items():
+            d = abs(results[p][key]["lsd"] - ref["lsd"])
+            per_key_dlsd_id[key] = round(max(per_key_dlsd_id.get(key, 0.0), d), 4)
+
+    # ---- accuracy: well-conditioned testee, FULL sweep ------------------
+    rng_noise = np.random.default_rng(777)
+    noise = (1e-3 * rng_noise.standard_normal(1 << 17)).astype(np.float32)
+    _log("accuracy: well-conditioned sweep")
+    noisy = _make_noisy_testee(noise)
+    eng_wc = _engine(specs, noisy, batch=N_BASE)
+    r_wc = eng_wc.evaluate_files(paths[:N_BASE])
+    per_key_dlsd_wc = {}
+    for p in paths[:N_BASE]:
+        ref = _f64_pipeline_one(p, CUTOFFS, noise=noise)
+        for key in ref:
+            d = abs(r_wc[p][key]["lsd"] - ref[key]["lsd"])
+            per_key_dlsd_wc[key] = round(max(per_key_dlsd_wc.get(key, 0.0), d), 7)
+    max_dlsd_wc = max(per_key_dlsd_wc.values())
+
+    # cross-check: the shipped float64 host metric mode on the same sweep
+    _log("accuracy: host_float64 cross-check")
+    eng_h64 = _engine(specs, noisy, batch=N_BASE, metrics_backend="host_float64")
+    r_h64 = eng_h64.evaluate_files(paths[:N_BASE])
+    dev_vs_h64 = 0.0
+    for p in paths[:N_BASE]:
+        for key in r_h64[p]:
+            dev_vs_h64 = max(dev_vs_h64, abs(r_wc[p][key]["lsd"] - r_h64[p][key]["lsd"]))
+
+    # ---- NVSR flagship line (random weights) ----------------------------
+    nvsr_detail = {}
+    if os.environ.get("SSR_BENCH_NVSR", "1") not in ("0", "false"):
+        try:
+            _log("nvsr flagship line")
+            from ssr_eval_tpu.models.testees import NVSRTestee
+
+            nv = NVSRTestee(model_name="unet")
+            eng_nv = _engine(specs, nv, batch=4)
+            n_nv = 16
+            eng_nv.evaluate_files(paths[:4])
+            t0 = time.perf_counter()
+            r_nv = eng_nv.evaluate_files(paths[:n_nv])
+            e_nv = time.perf_counter() - t0
+            per_cut = {}
+            for p in paths[:n_nv]:
+                for key, m in r_nv[p].items():
+                    per_cut.setdefault(key, []).append(m["lsd"])
+            nvsr_detail = {
+                "utt_per_s_per_chip": round(n_nv / e_nv / n_chips, 3),
+                "weights": "random-init (pretrained ckpt unreachable offline)",
+                "lsd_per_cutoff": {
+                    k: round(float(np.mean(v)), 3) for k, v in per_cut.items()
+                },
+            }
+        except Exception as e:  # record, never kill the headline
+            nvsr_detail = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # ---- IIR + subsampling matrix (default-on) --------------------------
+    mixed = expand_settings(
+        setting_lowpass_filtering={
+            "filter": ["cheby", "butter"],
+            "cutoff_freq": [8000, 16000],
+            "filter_order": [8],
+        },
+        setting_subsampling={"cutoff_freq": [8000]},
+        sr=SR,
+    )
+    _log("iir/subsampling matrix")
+    eng_mx = _engine(mixed, BatchedTestee())
+    e_mx, _, _ = _timed_passes(eng_mx, paths[: N_UTTS // 2], passes=2)
+    iir_detail = {
+        "n_specs": len(mixed),
+        "utt_per_s_per_chip": round((N_UTTS // 2) / e_mx / n_chips, 3),
+    }
+
+    _log("pallas A/B")
+    try:
+        pallas_ab = _pallas_ab()
+    except Exception as e:
+        pallas_ab = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    vs_baseline = thr / base_utt_s
+    stage_sum = round(sum(stages.values()), 3) if stages else None
     print(
         json.dumps(
             {
                 "metric": "utterances/sec/chip (VCTK fft-sweep eval)",
                 "value": round(thr, 3),
                 "unit": "utt/s/chip",
-                "vs_baseline": round(thr / base_thr, 2),
+                "vs_baseline": round(vs_baseline, 2),
                 "detail": {
-                    "n_utts": len(paths),
+                    "n_utts": N_UTTS,
+                    "batch": BATCH,
                     "sweep": [f"fft@{c}" for c in CUTOFFS],
-                    "elapsed_s": round(elapsed, 3),
-                    "baseline_utt_s": round(base_thr, 4),
-                    "max_abs_dLSD_vs_f32_oracle": round(max_dlsd, 6),
-                    "per_key_dLSD": {k: round(v, 4) for k, v in per_key_dlsd.items()},
+                    "elapsed_s_best": round(elapsed, 3),
+                    "pass_times_s": runs,
+                    "stage_seconds_best_pass": stages,
+                    "stage_sum_vs_elapsed_s": [stage_sum, round(elapsed, 3)],
+                    "baseline_utt_s": round(base_utt_s, 4),
+                    "baseline_n_utts": N_BASE,
+                    "v5e8_extrapolated_vs_baseline": round(vs_baseline * 8, 1),
+                    "v5e8_extrapolation_basis": (
+                        "utterance-DP is collective-free; 8-way sharding "
+                        "validated on the virtual mesh (tests/test_parallel.py, "
+                        "dryrun_multichip)"
+                    ),
+                    "max_abs_dLSD_wellconditioned": max_dlsd_wc,
+                    "per_key_dLSD_wellconditioned": per_key_dlsd_wc,
+                    "max_abs_dLSD_device_vs_host_float64": round(dev_vs_h64, 7),
+                    "per_key_dLSD_identity_floor_dominated": per_key_dlsd_id,
+                    "nvsr": nvsr_detail,
+                    "iir_subsampling_matrix": iir_detail,
+                    "pallas_ab": pallas_ab,
                     "n_chips": n_chips,
                     "backend": jax.default_backend(),
-                    "engine_stats": engine.stats.summary(),
-                    **extra,
+                    "engine_stats": eng.stats.summary(),
                 },
             }
         )
