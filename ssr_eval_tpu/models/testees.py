@@ -103,7 +103,18 @@ class NVSRTestee(BatchedTestee):
             return self.model.init(rng, mel, train=False, method=NVSR.init_all)
 
     def device_state(self):
-        return self.variables
+        """Model variables resident on the default (accelerator) device.
+
+        `_random_init`/checkpoint loading build the tree on the CPU
+        backend; without this one-time device_put every fused engine call
+        would re-upload the full 65M-param tree (~260 MB) through the
+        tunnel — measured at ~10 s per batch."""
+        if getattr(self, "_dev_state", None) is None:
+            # explicit target: device_put without a device leaves arrays
+            # committed to the CPU backend where they were, er, committed
+            dev = jax.devices()[0]
+            self._dev_state = jax.device_put(self.variables, dev)
+        return self._dev_state
 
     def load_checkpoint(self, path):
         """Convert a torch NVSR state dict (the reference's Zenodo ckpt,
@@ -137,6 +148,7 @@ class NVSRTestee(BatchedTestee):
         p["vocoder"] = params
         v["params"] = p
         self.variables = v
+        self._dev_state = None  # re-upload on next device_state()
         return unmatched
 
     # -- the fused device path ------------------------------------------
