@@ -152,7 +152,14 @@ class SSR_Eval_Helper:
                 ret.append(file)
         return ret
 
-    def evaluate(self, limit_test_nums=-1, limit_test_speaker=-1, resume=False, verbose=True):
+    def evaluate(
+        self,
+        limit_test_nums=-1,
+        limit_test_speaker=-1,
+        resume=False,
+        verbose=True,
+        multihost="auto",
+    ):
         """Run the sweep.  Reference-compatible signature plus:
 
         resume: skip files whose every spec key already exists in the
@@ -161,6 +168,13 @@ class SSR_Eval_Helper:
             one batch, unlike the reference which loses everything,
             eval.py:219-226).
         verbose: per-speaker progress + a throughput summary (SURVEY §5).
+        multihost: "auto" shards the file list round-robin across JAX
+            processes when `jax.process_count() > 1` (after
+            parallel.multihost.init_distributed), gathers per-file
+            metrics to every process over DCN, and writes the results
+            JSON on the coordinator only.  True forces the path (the
+            single-process degenerate case is exercised in tests); False
+            disables it.
         """
         from ssr_eval_tpu.harness.resume import ResultJournal, load_partial
 
@@ -205,12 +219,29 @@ class SSR_Eval_Helper:
             if done:
                 print(f"[resume] {len(done)}/{len(all_paths)} files already scored")
 
+        import jax
+
+        use_multihost = (
+            multihost if multihost != "auto" else jax.process_count() > 1
+        )
+        my_todo = todo
+        if use_multihost:
+            from ssr_eval_tpu.parallel.multihost import shard_paths
+
+            my_todo = shard_paths(todo)
+
         self.engine.journal = ResultJournal(journal_path)
         try:
-            per_file = self.engine.evaluate_files(todo) if todo else {}
+            per_file = self.engine.evaluate_files(my_todo) if my_todo else {}
         finally:
             self.engine.journal.close()
             self.engine.journal = None
+        if use_multihost:
+            from ssr_eval_tpu.parallel.multihost import (
+                gather_results_to_coordinator,
+            )
+
+            per_file = gather_results_to_coordinator(per_file)
         for p in done:
             per_file[p] = {k: partial[p][k] for k in [s.key for s in self.specs]}
 
@@ -245,7 +276,10 @@ class SSR_Eval_Helper:
             + self.test_name
             + ".json"
         )
-        write_json(final_result, os.path.join("results", save_path))
+        # Every process returns the merged result; only the coordinator
+        # writes the artifact on multi-host runs.
+        if not use_multihost or jax.process_index() == 0:
+            write_json(final_result, os.path.join("results", save_path))
         return final_result
 
     def preprocess(self, file, sr):

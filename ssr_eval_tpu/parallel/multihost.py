@@ -44,23 +44,32 @@ def is_coordinator() -> bool:
 def gather_results_to_coordinator(local_results: dict) -> dict:
     """All-gather each host's {path: {key: metrics}} dict to every process
     (coordinator merges and writes).  Results are small JSON-able dicts, so
-    they travel as length-prefixed uint8 tensors through the standard
-    multihost_utils broadcast/gather path."""
+    they travel as uint8 tensors (padded to the max payload length, then
+    sliced back with the exactly-gathered lengths) through the standard
+    multihost_utils gather path.  Degenerates to a no-op merge on a single
+    process, which is how the flow is exercised in tests."""
     import numpy as np
     from jax.experimental import multihost_utils
 
     payload = json.dumps(local_results).encode()
     n = jax.process_count()
-    # Pad to a common length (all-gather needs uniform shapes).
-    max_len = int(
-        multihost_utils.process_allgather(np.asarray([len(payload)])).max()
-    )
+    lens = np.asarray(
+        multihost_utils.process_allgather(np.asarray([len(payload)]))
+    ).reshape(n)
+    max_len = int(lens.max())
     buf = np.zeros(max_len, dtype=np.uint8)
     buf[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
-    gathered = multihost_utils.process_allgather(buf)  # [n, max_len]
+    gathered = np.asarray(multihost_utils.process_allgather(buf)).reshape(n, max_len)
     merged: dict = {}
     for i in range(n):
-        raw = bytes(gathered[i]).rstrip(b"\x00")
+        raw = bytes(gathered[i, : lens[i]])
         if raw:
             merged.update(json.loads(raw.decode()))
     return merged
+
+
+def shard_paths(paths, process_id=None, num_processes=None):
+    """Deterministic round-robin file shard for this process."""
+    pid = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if num_processes is None else num_processes
+    return list(paths)[pid::n]

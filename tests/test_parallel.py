@@ -89,3 +89,42 @@ def test_sharded_batch_actually_sharded(vctk_root, tmp_path):
     # expand_settings takes already-doubled cutoffs (the helper doubles
     # user values); called directly, 8000 stays 8000 in the key.
     assert all("proc_fft_8000_44100" in v for v in r.values())
+
+
+def test_multihost_degenerate_path(vctk_root, tmp_path):
+    """multihost=True on a single process exercises the full multi-host
+    flow (round-robin shard -> evaluate -> process_allgather merge ->
+    coordinator-only write) and must equal the plain path."""
+    (tmp_path / "a").mkdir()
+    r_plain = _run(vctk_root, tmp_path / "a", None, 8, "mh_off")
+    cwd = os.getcwd()
+    os.chdir(tmp_path / "a")
+    try:
+        r_mh = ssr_eval_tpu.SSR_Eval_Helper(
+            BatchedTestee(),
+            input_sr=44100,
+            output_sr=44100,
+            evaluation_sr=44100,
+            test_data_root=vctk_root,
+            setting_fft={"cutoff_freq": [4000, 8000]},
+            auto_download=False,
+            test_name="mh_on",
+        ).evaluate(limit_test_nums=1, limit_test_speaker=-1, verbose=False, multihost=True)
+    finally:
+        os.chdir(cwd)
+    for k, v in r_plain["averaged"].items():
+        for m, val in v.items():
+            assert abs(r_mh["averaged"][k][m] - val) < 1e-6, (k, m)
+
+
+def test_gather_results_single_process():
+    from ssr_eval_tpu.parallel.multihost import (
+        gather_results_to_coordinator,
+        shard_paths,
+    )
+
+    local = {"a/b.flac": {"proc_fft_8000_44100": {"lsd": 1.25}}}
+    merged = gather_results_to_coordinator(local)
+    assert merged == local
+    assert shard_paths(["x", "y", "z"], process_id=0, num_processes=2) == ["x", "z"]
+    assert shard_paths(["x", "y", "z"], process_id=1, num_processes=2) == ["y"]
