@@ -153,6 +153,56 @@ def build_family_degrader(key: tuple, max_len: int):
     raise ValueError(f"family {family!r} is not a device degradation")
 
 
+@functools.lru_cache(maxsize=64)
+def build_family_pre(key: tuple, max_len: int):
+    """Spec-INDEPENDENT precomputation for a family, or None.
+
+    The fused sweep engine runs `pre` once per utterance and shares its
+    output across every spec of the family (the stacked lax.map axis) —
+    for the fft family that removes one full forward STFT per spec
+    (lowpass.py:17-28 recomputes it for every cutoff).
+    """
+    family = key[0]
+    if family == "fft":
+        cfg = DEGRADE_STFT
+        mf = cfg.max_frames(max_len)
+
+        def pre(x, length):
+            real, imag = stft_real_imag(x, length, cfg, mf)
+            return {"real": real, "imag": imag}
+
+        return pre
+    return None
+
+
+@functools.lru_cache(maxsize=64)
+def build_family_apply(key: tuple, max_len: int):
+    """Spec-dependent tail: fn(ctx, x, length, params) -> y [Lmax].
+
+    `ctx` is build_family_pre's output (None-pre families ignore it and
+    recompute from x)."""
+    family = key[0]
+    if family == "fft":
+        cfg = DEGRADE_STFT
+        mf = cfg.max_frames(max_len)
+
+        def fft_apply(ctx, x, length, params):
+            nf = n_frames_for_length(cfg, length)
+            fmask = (jnp.arange(mf) < nf)[:, None]
+            bmask = (jnp.arange(cfg.n_bins) < params["cut"])[None, :]
+            m = (fmask & bmask).astype(ctx["real"].dtype)
+            return istft(ctx["real"] * m, ctx["imag"] * m, length, cfg, max_len)
+
+        return fft_apply
+
+    deg = build_family_degrader(key, max_len)
+
+    def passthrough(ctx, x, length, params):
+        return deg(x, length, params)
+
+    return passthrough
+
+
 def build_degrader(spec: DegradationSpec, max_len: int):
     """Back-compat single-spec builder: params baked via closure."""
     fn = build_family_degrader(family_key(spec), max_len)

@@ -187,7 +187,13 @@ class EvalEngine:
             ratio_plan = resample_poly_plan(self.output_sr, self.evaluation_sr, 1024)
             Wi = jnp.asarray(in_plan.Wd)
             Wg = jnp.asarray(gt_plan.Wd)
-            deg = build_family_degrader(fkey, lin)
+            from ssr_eval_tpu.degrade.apply import (
+                build_family_apply,
+                build_family_pre,
+            )
+
+            deg_pre = build_family_pre(fkey, lin)
+            deg_apply = build_family_apply(fkey, lin)
             cfg = metric_stft_config(self.evaluation_sr)
             mf = cfg.max_frames(lgt)
             infer_batch = self.testee.infer_batch
@@ -207,9 +213,19 @@ class EvalEngine:
                     return xi, ni, tgt_sp, ml
 
                 x_in, n_in, tgt_sp, min_len = jax.vmap(prep)(x_nat, len_nat)
+                # Spec-independent degradation work runs ONCE per
+                # utterance (e.g. the fft family's forward STFT) and is
+                # shared across the stacked spec axis below.
+                ctx = (
+                    jax.vmap(deg_pre)(x_in, n_in) if deg_pre is not None else None
+                )
+
+                ctx_axis = None if ctx is None else 0
 
                 def per_spec(params):
-                    d = jax.vmap(deg, in_axes=(0, 0, None))(x_in, n_in, params)
+                    d = jax.vmap(deg_apply, in_axes=(ctx_axis, 0, 0, None))(
+                        ctx, x_in, n_in, params
+                    )
                     y, ny = infer_batch(d, n_in, testee_state)
                     # testee output length is static here (trace time)
                     lout = y.shape[1]
