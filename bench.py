@@ -176,7 +176,11 @@ def _pallas_ab():
         return run
 
     out = {}
-    for name, flag in (("xla_ct", "0"), ("pallas_dense_dft", "1")):
+    for name, flag in (
+        ("xla_ct", "0"),
+        ("pallas_dense_dft", "1"),
+        ("pallas_ct", "ct"),
+    ):
         os.environ["SSR_EVAL_TPU_PALLAS"] = flag
         f = build()
         np.asarray(f(x, n))

@@ -191,22 +191,27 @@ def stft_real_imag(
     return real, imag
 
 
-def _pallas_stft_enabled() -> bool:
-    """Fused Pallas dense-DFT magnitude kernel, overridable via
-    SSR_EVAL_TPU_PALLAS=0/1.
+def _pallas_stft_mode() -> str:
+    """Pallas spectrogram kernel selection via SSR_EVAL_TPU_PALLAS:
+    "" / "0" (default) — the XLA path (CT matmul FFT for power-of-2,
+    dense DFT otherwise); "1"/"dense" — the fused dense-DFT Pallas
+    kernel; "ct" — the fused Cooley-Tukey Pallas kernel (VMEM-resident
+    butterflies).
 
-    Default OFF since round 2: with edge-only reflect extension, slab
-    framing and the Cooley-Tukey matmul FFT, the XLA path measures
-    slightly FASTER than the dense-DFT Pallas kernel (4.4 vs 4.7 ms per
-    8x266k-batch |STFT| on v5e — bench.py records the A/B), while keeping
-    one code path for all n_fft.  The kernel remains for comparison and
-    for shapes where a fused dense DFT wins."""
+    Default is the XLA path since round 2: with edge-only reflect
+    extension, slab framing and the CT matmul FFT it measures fastest
+    (4.4 ms vs 4.7 dense-Pallas per 8x266k-batch |STFT| on v5e;
+    bench.py records the A/B), while keeping one code path for all
+    n_fft.  The kernels remain selectable for comparison and for shapes
+    where a fused kernel wins."""
     import os
 
-    flag = os.environ.get("SSR_EVAL_TPU_PALLAS")
-    if flag is not None:
-        return flag not in ("0", "false", "")
-    return False
+    flag = os.environ.get("SSR_EVAL_TPU_PALLAS", "0")
+    if flag in ("0", "false", ""):
+        return ""
+    if flag == "ct":
+        return "ct"
+    return "dense"
 
 
 def stft_magnitude(
@@ -214,13 +219,28 @@ def stft_magnitude(
 ) -> jnp.ndarray:
     """|STFT| [max_frames, n_bins]; eps matches FDomainHelper.spectrogram's
     clamp (reference dsp.py:72-74) when nonzero."""
-    if cfg.center and cfg.win == cfg.n_fft and _pallas_stft_enabled():
-        from ssr_eval_tpu.dsp.pallas_stft import fused_stft_magnitude
-
-        ext = _extend(x, length, cfg.pad)
-        mag = fused_stft_magnitude(
-            ext, cfg.n_fft, cfg.hop, max_frames, hann_window(cfg.win)
+    mode = _pallas_stft_mode()
+    if cfg.center and cfg.win == cfg.n_fft and mode:
+        from ssr_eval_tpu.dsp import fft_matmul as _fm
+        from ssr_eval_tpu.dsp.pallas_stft import (
+            fused_ct_stft_magnitude,
+            fused_stft_magnitude,
         )
+
+        use_ct = (
+            mode == "ct"
+            and _fm.ct_levels(cfg.n_fft) is not None
+            and cfg.n_fft <= 4096
+        )
+        ext = _extend(x, length, cfg.pad)
+        if use_ct:
+            mag = fused_ct_stft_magnitude(
+                ext, cfg.n_fft, cfg.hop, max_frames, hann_window(cfg.win)
+            )
+        else:
+            mag = fused_stft_magnitude(
+                ext, cfg.n_fft, cfg.hop, max_frames, hann_window(cfg.win)
+            )
         if eps:
             mag = jnp.sqrt(jnp.maximum(mag * mag, eps))
         return mag

@@ -39,3 +39,36 @@ def test_fused_magnitude_matches_oracle(cfg):
     nf = ref.shape[0]
     scale = ref.max()
     assert np.abs(got[:nf] - ref).max() / scale < 5e-4
+
+
+def test_fused_ct_kernel_matches_oracle():
+    """The VMEM-resident Cooley-Tukey Pallas kernel (interpret mode on
+    CPU) matches the float64 rFFT magnitude."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ssr_eval_tpu.dsp.pallas_stft import fused_ct_stft_magnitude
+    from ssr_eval_tpu.dsp.spectral import hann_window
+
+    n_fft, hop, mf = 2048, 441, 9
+    rng = np.random.default_rng(5)
+    ext = rng.standard_normal((mf - 1) * hop + n_fft).astype(np.float32)
+    win = hann_window(n_fft)
+    got = np.asarray(
+        fused_ct_stft_magnitude(jnp.asarray(ext), n_fft, hop, mf, win, interpret=True)
+    )
+    fr = np.stack([ext[i * hop : i * hop + n_fft] for i in range(mf)])
+    ref = np.abs(np.fft.rfft(fr * win, axis=-1))
+    assert got.shape == (mf, n_fft // 2 + 1)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_mode_selection(monkeypatch):
+    from ssr_eval_tpu.dsp.spectral import _pallas_stft_mode
+
+    monkeypatch.delenv("SSR_EVAL_TPU_PALLAS", raising=False)
+    assert _pallas_stft_mode() == ""
+    monkeypatch.setenv("SSR_EVAL_TPU_PALLAS", "1")
+    assert _pallas_stft_mode() == "dense"
+    monkeypatch.setenv("SSR_EVAL_TPU_PALLAS", "ct")
+    assert _pallas_stft_mode() == "ct"
