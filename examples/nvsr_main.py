@@ -1,8 +1,11 @@
 """NVSR evaluation demo (counterpart of reference examples/NVSR/main.py):
-the 65M UNet generator + native vocoder through the batched harness.
+the 65M UNet generator + voicefixer-structure vocoder through the
+batched harness.
 
-With a pretrained torch checkpoint (the reference's Zenodo file), pass
-`ckpt=...` to convert the analysis-module weights; without one, random
+With the reference's pretrained torch checkpoint (Zenodo), pass
+`ckpt=...` to convert the analysis-module weights, and `vocoder_ckpt=...`
+to graft a voicefixer-structure vocoder state dict
+(models/convert.py::vocoder_state_dict_to_flax); without them, random
 weights still exercise the full device pipeline.
 """
 
@@ -14,8 +17,10 @@ from ssr_eval_tpu.models.testees import (
 )
 
 
-def main(ckpt=None, testee_cls=NVSRTestee):
+def main(ckpt=None, vocoder_ckpt=None, testee_cls=NVSRTestee):
     testee = testee_cls(model_name="unet", ckpt=ckpt)
+    if vocoder_ckpt is not None:
+        testee.load_vocoder_checkpoint(vocoder_ckpt)
     helper = SSR_Eval_Helper(
         testee,
         test_name="NVSR",
