@@ -22,7 +22,8 @@ in-kernel DMA framing variant is future work.
 
 Correctness is tested in interpreter mode on CPU; the same kernel
 compiles natively on TPU (enabled by default there, see
-dsp.spectral._pallas_stft_enabled).
+dsp.spectral._pallas_stft_mode; default off since round 2 — the
+XLA CT path measures faster).
 """
 
 from __future__ import annotations
