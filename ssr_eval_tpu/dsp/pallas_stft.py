@@ -15,15 +15,16 @@ any n_fft (incl. non-power-of-2 metric sizes like 2229 @48 kHz) with f32
 HIGHEST accumulation; frequency tiles stream the DFT matrices through
 VMEM in FREQ_TILE columns.
 
-Framing itself (the hop-strided gather from the reflect-extended signal)
-stays an XLA gather: Mosaic requires lane-aligned vector loads and
-1024-tiled DMA offsets, and a 441-sample hop satisfies neither — an
-in-kernel DMA framing variant is future work.
+Framing itself stays outside the kernels as static slab slices
+(dsp.spectral.frame_slabs): Mosaic requires lane-aligned vector loads
+and 1024-tiled DMA offsets, and a 441-sample hop satisfies neither.
 
-Correctness is tested in interpreter mode on CPU; the same kernel
-compiles natively on TPU (enabled by default there, see
-dsp.spectral._pallas_stft_mode; default off since round 2 — the
-XLA CT path measures faster).
+Two kernels live here: the dense-DFT `fused_stft_magnitude` (any n_fft)
+and the Cooley-Tukey `fused_ct_stft_magnitude` (power-of-2, VMEM
+butterflies).  Correctness is tested in interpreter mode on CPU; both
+compile natively on TPU and are selectable via SSR_EVAL_TPU_PALLAS
+(see dsp.spectral._pallas_stft_mode — default off since round 2, when
+the XLA CT path started measuring faster; bench.py keeps the A/B).
 """
 
 from __future__ import annotations
