@@ -193,20 +193,22 @@ def stft_real_imag(
 
 def _pallas_stft_mode() -> str:
     """Pallas spectrogram kernel selection via SSR_EVAL_TPU_PALLAS:
-    "" / "0" (default) — the XLA path (CT matmul FFT for power-of-2,
-    dense DFT otherwise); "1"/"dense" — the fused dense-DFT Pallas
-    kernel; "ct" — the fused Cooley-Tukey Pallas kernel (VMEM-resident
-    butterflies).
+    "" / "0" — the XLA path (CT matmul FFT for power-of-2, dense DFT
+    otherwise); "1"/"dense" — the fused dense-DFT Pallas kernel; "ct" —
+    the fused Cooley-Tukey Pallas kernel (VMEM-resident butterflies).
 
-    Default is the XLA path since round 2: with edge-only reflect
-    extension, slab framing and the CT matmul FFT it measures fastest
-    (4.4 ms vs 4.7 dense-Pallas per 8x266k-batch |STFT| on v5e;
-    bench.py records the A/B), while keeping one code path for all
-    n_fft.  The kernels remain selectable for comparison and for shapes
-    where a fused kernel wins."""
+    Default on TPU is "ct" (bench.py 3-way A/B on v5e: 4.17 ms vs 4.71
+    XLA-CT vs 4.83 dense-Pallas per 8x266k-batch |STFT|); shapes the CT
+    kernel can't take (non-power-of-2, n_fft > 4096, win != n_fft) fall
+    through to the XLA path.  Off-TPU the XLA path is the default (the
+    kernels still run in interpret mode for tests)."""
     import os
 
-    flag = os.environ.get("SSR_EVAL_TPU_PALLAS", "0")
+    flag = os.environ.get("SSR_EVAL_TPU_PALLAS")
+    if flag is None:
+        import jax
+
+        return "ct" if jax.default_backend() == "tpu" else ""
     if flag in ("0", "false", ""):
         return ""
     if flag == "ct":
@@ -227,23 +229,23 @@ def stft_magnitude(
             fused_stft_magnitude,
         )
 
-        use_ct = (
-            mode == "ct"
-            and _fm.ct_levels(cfg.n_fft) is not None
-            and cfg.n_fft <= 4096
-        )
-        ext = _extend(x, length, cfg.pad)
-        if use_ct:
-            mag = fused_ct_stft_magnitude(
-                ext, cfg.n_fft, cfg.hop, max_frames, hann_window(cfg.win)
-            )
+        ct_ok = _fm.ct_levels(cfg.n_fft) is not None and cfg.n_fft <= 4096
+        if mode == "ct" and not ct_ok:
+            mag = None  # fall through to the XLA path below
         else:
-            mag = fused_stft_magnitude(
-                ext, cfg.n_fft, cfg.hop, max_frames, hann_window(cfg.win)
-            )
-        if eps:
-            mag = jnp.sqrt(jnp.maximum(mag * mag, eps))
-        return mag
+            ext = _extend(x, length, cfg.pad)
+            if mode == "ct":
+                mag = fused_ct_stft_magnitude(
+                    ext, cfg.n_fft, cfg.hop, max_frames, hann_window(cfg.win)
+                )
+            else:
+                mag = fused_stft_magnitude(
+                    ext, cfg.n_fft, cfg.hop, max_frames, hann_window(cfg.win)
+                )
+        if mag is not None:
+            if eps:
+                mag = jnp.sqrt(jnp.maximum(mag * mag, eps))
+            return mag
     real, imag = stft_real_imag(x, length, cfg, max_frames)
     power = real * real + imag * imag
     if eps:
