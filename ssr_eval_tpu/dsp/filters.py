@@ -117,30 +117,49 @@ def make_filtfilt_plan(sos: np.ndarray, max_len: int, edge_max: int | None = Non
     return plan
 
 
-def _odd_extend(x: jnp.ndarray, length, edge: int) -> jnp.ndarray:
-    """scipy's odd_ext for a traced true length inside a static buffer.
+def _flip_prefix(y: jnp.ndarray, n_valid, out_size: int) -> jnp.ndarray:
+    """out[v] = y[n_valid - 1 - v] for v < n_valid, else 0 (traced n_valid).
 
-    ext = [2*x[0] - x[edge..1], x[0..L), 2*x[L-1] - x[L-2..L-edge-1], 0...]
-    Returns [Lmax + 2*edge]; zero beyond L + 2*edge.
+    A static reverse + one dynamic slice — full-buffer index gathers on
+    TPU cost ~20 ms per 8x266k batch (they bypass the vector memory
+    path), and the zero-phase filter had three of them."""
+    pad = jnp.concatenate([y[::-1], jnp.zeros(out_size, y.dtype)])
+    return jax.lax.dynamic_slice(pad, (y.shape[0] - n_valid,), (out_size,))
+
+
+def _odd_extend(x: jnp.ndarray, length, edge, edge_max: int) -> jnp.ndarray:
+    """scipy's odd_ext for a traced true length (and possibly traced edge)
+    inside a static buffer.
+
+    ext = [2*x[0] - x[edge..1], x[0..L), 2*x[L-1] - x[L-2..L-edge-1], ...]
+    Returns [Lmax + 2*edge_max].  Positions in [L + 2*edge, L + edge +
+    edge_max) may hold garbage — the filters mask everything beyond
+    L + 2*edge.  Contract: x is zero beyond `length` (bucket buffers are)
+    and length > edge (utterances are orders of magnitude longer).
+
+    Built from contiguous ops only: a static flip, two edge_max-sized
+    dynamic slices for the reflected edges, and two traced-offset
+    contiguous writes — no full-buffer gathers (see _flip_prefix).
     """
     Lmax = x.shape[0]
-    v = jnp.arange(Lmax + 2 * edge, dtype=jnp.int32)
-    i = v - edge  # virtual signal index in [-edge, Lmax + edge)
-    left_idx = jnp.clip(-i, 0, Lmax - 1)
-    mid_idx = jnp.clip(i, 0, Lmax - 1)
-    right_idx = jnp.clip(2 * (length - 1) - i, 0, Lmax - 1)
+    xf = x[::-1]
     x0 = x[0]
     xl = x[jnp.clip(length - 1, 0, Lmax - 1)]
-    val = jnp.where(
-        i < 0,
-        2.0 * x0 - x[left_idx],
-        jnp.where(
-            i < length,
-            x[mid_idx],
-            jnp.where(i < length + edge, 2.0 * xl - x[right_idx], 0.0),
-        ),
+    xf_pad = jnp.concatenate([xf, jnp.zeros(edge_max + 2, x.dtype)])
+    # left[v] = 2*x0 - x[edge - v] = 2*x0 - xf[Lmax - 1 - edge + v]
+    left = 2.0 * x0 - jax.lax.dynamic_slice(
+        xf_pad, (Lmax - 1 - edge,), (edge_max,)
     )
-    return val
+    # right[j] = 2*xl - x[L - 2 - j] = 2*xl - xf[Lmax + 1 - L + j]
+    right = 2.0 * xl - jax.lax.dynamic_slice(
+        xf_pad, (Lmax + 1 - length,), (edge_max,)
+    )
+    ext = jnp.zeros(Lmax + 2 * edge_max, x.dtype)
+    ext = jax.lax.dynamic_update_slice(ext, left, (0,))
+    # x overwrites left's garbage tail (positions >= edge) ...
+    ext = jax.lax.dynamic_update_slice(ext, x, (edge,))
+    # ... and right lands at the traced end of the signal.
+    return jax.lax.dynamic_update_slice(ext, right, (edge + length,))
 
 
 def _fft_lfilter(ext: jnp.ndarray, x0, Hr: jnp.ndarray, Hi: jnp.ndarray, r: jnp.ndarray, fft_size: int) -> jnp.ndarray:
@@ -168,29 +187,8 @@ def sosfiltfilt(x: jnp.ndarray, length, plan: FiltFiltPlan, H, r: jnp.ndarray):
     than baked-in constants).
     """
     Hr, Hi = H
-    Lmax = x.shape[0]
     edge = plan.edge
-    n_ext_buf = Lmax + 2 * edge
-    n_ext = length + 2 * edge
-
-    ext = _odd_extend(x, length, edge)
-    y_f = _fft_lfilter(ext, ext[0], Hr, Hi, r, plan.fft_size)
-    # Mask the forward output beyond its valid prefix before reversing.
-    valid = jnp.arange(n_ext_buf) < n_ext
-    y_f = jnp.where(valid, y_f, 0.0)
-
-    # Reverse the valid prefix within the static buffer.
-    rev_idx = jnp.clip(n_ext - 1 - jnp.arange(n_ext_buf), 0, n_ext_buf - 1)
-    z = jnp.where(valid, y_f[rev_idx], 0.0)
-    y_b = _fft_lfilter(z, z[0], Hr, Hi, r, plan.fft_size)
-    y_b = jnp.where(valid, y_b, 0.0)
-
-    # Undo the reversal and trim `edge` from both sides:
-    # result[k] = y_b[n_ext - 1 - (edge + k)] for k in [0, L).
-    k = jnp.arange(Lmax)
-    out_idx = jnp.clip(n_ext - 1 - edge - k, 0, n_ext_buf - 1)
-    out = jnp.where(k < length, y_b[out_idx], 0.0)
-    return out
+    return _filtfilt_core(x, length, edge, Hr, Hi, r, plan.fft_size, edge)
 
 
 def sosfiltfilt_dynamic(x, length, edge, H, r, fft_size: int, edge_max: int):
@@ -206,45 +204,32 @@ def sosfiltfilt_dynamic(x, length, edge, H, r, fft_size: int, edge_max: int):
     r: [Lmax + 2*edge_max] zero-input response (zero-padded past its
     design length — those positions are masked).
     """
+    Hr, Hi = H
+    return _filtfilt_core(x, length, edge, Hr, Hi, r, fft_size, edge_max)
+
+
+def _filtfilt_core(x, length, edge, Hr, Hi, r, fft_size: int, edge_max: int):
+    """Shared forward-backward pass; `edge` may be traced (<= edge_max)."""
     Lmax = x.shape[0]
     n_ext_buf = Lmax + 2 * edge_max
     n_ext = length + 2 * edge
 
-    Hr, Hi = H
-    ext = _odd_extend_dynamic(x, length, edge, n_ext_buf)
+    ext = _odd_extend(x, length, edge, edge_max)
     y_f = _fft_lfilter(ext, ext[0], Hr, Hi, r, fft_size)
     valid = jnp.arange(n_ext_buf) < n_ext
     y_f = jnp.where(valid, y_f, 0.0)
 
-    rev_idx = jnp.clip(n_ext - 1 - jnp.arange(n_ext_buf), 0, n_ext_buf - 1)
-    z = jnp.where(valid, y_f[rev_idx], 0.0)
+    # Reverse the valid prefix (z[v] = y_f[n_ext-1-v]), filter again.
+    z = _flip_prefix(y_f, n_ext, n_ext_buf)
     y_b = _fft_lfilter(z, z[0], Hr, Hi, r, fft_size)
     y_b = jnp.where(valid, y_b, 0.0)
 
-    k = jnp.arange(Lmax)
-    out_idx = jnp.clip(n_ext - 1 - edge - k, 0, n_ext_buf - 1)
-    return jnp.where(k < length, y_b[out_idx], 0.0)
-
-
-def _odd_extend_dynamic(x, length, edge, n_ext_buf: int):
-    """`_odd_extend` with a traced edge length; output [n_ext_buf]."""
-    Lmax = x.shape[0]
-    v = jnp.arange(n_ext_buf, dtype=jnp.int32)
-    i = v - edge
-    left_idx = jnp.clip(-i, 0, Lmax - 1)
-    mid_idx = jnp.clip(i, 0, Lmax - 1)
-    right_idx = jnp.clip(2 * (length - 1) - i, 0, Lmax - 1)
-    x0 = x[0]
-    xl = x[jnp.clip(length - 1, 0, Lmax - 1)]
-    return jnp.where(
-        i < 0,
-        2.0 * x0 - x[left_idx],
-        jnp.where(
-            i < length,
-            x[mid_idx],
-            jnp.where(i < length + edge, 2.0 * xl - x[right_idx], 0.0),
-        ),
-    )
+    # Undo the reversal and trim `edge` from both sides:
+    # result[k] = y_b[n_ext - 1 - (edge + k)] = flip_prefix(y_b)[edge + k].
+    fb = _flip_prefix(y_b, n_ext, n_ext_buf)
+    fb = jnp.concatenate([fb, jnp.zeros(Lmax, fb.dtype)])
+    out = jax.lax.dynamic_slice(fb, (edge,), (Lmax,))
+    return jnp.where(jnp.arange(Lmax) < length, out, 0.0)
 
 
 def plan_device_arrays(plan: FiltFiltPlan):
