@@ -164,16 +164,16 @@ def apply_resample(x: jnp.ndarray, length, plan: ResamplePlan, out_len: int, Wd:
     n_k = plan.n_pre_remove + out_len          # outputs needed
     n_blocks = -(-n_k // up)
 
-    # Window gather: XW[b, s] = x[b*down + s - left]
+    # Window framing: XW[b, s] = x[b*down + s - left], as down-strided
+    # contiguous slab slices (frame_slabs) — a 2-D index gather here costs
+    # ~20 ms per 8x266k batch on TPU.
+    from ssr_eval_tpu.dsp.spectral import frame_slabs
+
     left = plan.left_ext
     need = (n_blocks - 1) * down + S - left    # rightmost x index + 1
     pad_right = max(0, need - x.shape[0])
     xp = jnp.pad(x, (left, pad_right))
-    idx = (
-        jnp.arange(n_blocks, dtype=jnp.int32)[:, None] * down
-        + jnp.arange(S, dtype=jnp.int32)[None, :]
-    )
-    XW = xp[idx]                               # [n_blocks, S]
+    XW = frame_slabs(xp, down, S, n_blocks)    # [n_blocks, S]
 
     Y = jnp.dot(XW, Wd.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # [n_blocks, up]
     y_full = Y.reshape(n_blocks * up)
