@@ -151,16 +151,17 @@ class NVSR(nn.Module):
 
 
 def trim_center(est, ref_len):
-    """Center-trim est [..., L] to ref_len (reference main.py:22-35).
+    """Center-trim est [L] to ref_len (reference main.py:22-35).
 
     Static-shape variant: est's length is compile-time; ref_len may be
-    traced.  Returns est rolled so the centered window starts at index 0,
-    then cut to ref_len by masking."""
+    traced.  One traced-offset dynamic slice (a full-length take here is
+    a gather — ~20 ms per 8x266k batch on TPU), then a mask to ref_len."""
     L = est.shape[-1]
     diff = L - ref_len
     start = jnp.where(diff > 0, diff // 2, 0)
-    idx = jnp.arange(L) + start
-    rolled = jnp.take(est, jnp.clip(idx, 0, L - 1), axis=-1)
+    rolled = jax.lax.dynamic_slice_in_dim(
+        jnp.concatenate([est, jnp.zeros_like(est)], axis=-1), start, L, axis=-1
+    )
     mask = jnp.arange(L) < ref_len
     return jnp.where(mask, rolled, 0.0)
 
