@@ -197,18 +197,15 @@ def _pallas_stft_mode() -> str:
     otherwise); "1"/"dense" — the fused dense-DFT Pallas kernel; "ct" —
     the fused Cooley-Tukey Pallas kernel (VMEM-resident butterflies).
 
-    Default on TPU is "ct" (bench.py 3-way A/B on v5e: 4.17 ms vs 4.71
-    XLA-CT vs 4.83 dense-Pallas per 8x266k-batch |STFT|); shapes the CT
-    kernel can't take (non-power-of-2, n_fft > 4096, win != n_fft) fall
-    through to the XLA path.  Off-TPU the XLA path is the default (the
-    kernels still run in interpret mode for tests)."""
+    Default is the XLA path: repeated 3-way A/Bs through the tunnel are
+    within its run-to-run noise (one run: ct 4.17 < xla 4.71 < dense
+    4.83 ms; another: xla 5.12 < dense 5.64 < ct 7.46 per 8x266k-batch
+    |STFT|), so the single-code-path default stands and bench.py keeps
+    recording the A/B.  Shapes the CT kernel can't take (non-power-of-2,
+    n_fft > 4096, win != n_fft) fall through to the XLA path."""
     import os
 
-    flag = os.environ.get("SSR_EVAL_TPU_PALLAS")
-    if flag is None:
-        import jax
-
-        return "ct" if jax.default_backend() == "tpu" else ""
+    flag = os.environ.get("SSR_EVAL_TPU_PALLAS", "0")
     if flag in ("0", "false", ""):
         return ""
     if flag == "ct":
