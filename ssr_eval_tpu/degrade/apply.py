@@ -32,8 +32,11 @@ import jax.numpy as jnp
 
 from ssr_eval_tpu.degrade.plan import DegradationSpec
 from ssr_eval_tpu.dsp.filters import (
+    blocked_plan_arrays,
     design_lowpass_sos,
     make_filtfilt_plan,
+    response_len,
+    sosfiltfilt_blocked,
     sosfiltfilt_dynamic,
 )
 from ssr_eval_tpu.dsp.resample import apply_resample, resample_poly_plan
@@ -60,10 +63,33 @@ def iir_fft_size(max_len: int) -> int:
     return _next_pow2(2 * (max_len + 2 * EDGE_MAX))
 
 
+# Overlap-save block-size floor and the cap beyond which the blocked path
+# stops paying (a >2^15-tap response would need 64k-point block FFTs; the
+# monolithic full-buffer FFT handles those rare designs instead).
+IIR_BLOCK_MIN = 512
+IIR_BLOCK_CAP = 1 << 15
+
+
+def iir_block_size(spec: DegradationSpec) -> int | None:
+    """Power-of-2 overlap-save block for `spec`, or None -> monolithic FFT.
+
+    The truncated impulse-response length is a property of the filter
+    alone (host-designed once, cached), so specs whose responses fit the
+    same bucket share one compiled program.
+    """
+    sos = design_lowpass_sos(spec.ftype, spec.clamped_order, spec.highcut, spec.sr)
+    m = response_len(sos)
+    if m > IIR_BLOCK_CAP:
+        return None
+    return max(_next_pow2(m), IIR_BLOCK_MIN)
+
+
 def family_key(spec: DegradationSpec) -> tuple:
     """Compile-cache key: specs with the same key share one XLA program."""
     if spec.family == "subsampling":
         return ("subsampling", spec.cutoff, spec.sr)  # ratio-dependent shapes
+    if spec.family == "iir":
+        return ("iir", iir_block_size(spec))
     return (spec.family,)
 
 
@@ -75,6 +101,16 @@ def spec_params(spec: DegradationSpec, max_len: int):
     if spec.family == "iir":
         sos = design_lowpass_sos(spec.ftype, spec.clamped_order, spec.highcut, spec.sr)
         plan = make_filtfilt_plan(sos, max_len, edge_max=EDGE_MAX)
+        block = iir_block_size(spec)
+        if block is not None:
+            # Overlap-save path: params sized by the block, not the bucket.
+            (Hr, Hi), r = blocked_plan_arrays(plan, block)
+            return {
+                "edge": jnp.int32(plan.edge),
+                "Hr": jnp.asarray(Hr),
+                "Hi": jnp.asarray(Hi),
+                "r": jnp.asarray(r),
+            }
         fft_size = iir_fft_size(max_len)
         h = np.zeros(fft_size, dtype=np.float32)
         h[: plan.h.shape[0]] = plan.h
@@ -118,6 +154,17 @@ def build_family_degrader(key: tuple, max_len: int):
         return fft_fn
 
     if family == "iir":
+        block = key[1] if len(key) > 1 else None
+        if block is not None:
+
+            def iir_blocked_fn(x, length, params):
+                return sosfiltfilt_blocked(
+                    x, length, params["edge"], (params["Hr"], params["Hi"]),
+                    params["r"], block, EDGE_MAX,
+                )
+
+            return iir_blocked_fn
+
         fft_size = iir_fft_size(max_len)
 
         def iir_fn(x, length, params):

@@ -45,6 +45,8 @@ class FiltFiltPlan(NamedTuple):
     h: np.ndarray        # [n_ext_max] cascade impulse response (f32)
     r: np.ndarray        # [n_ext_max] zero-input response of unit zi (f32)
     fft_size: int        # convolution FFT size (power of 2)
+    m: int               # truncated response length: sum|h[m:]| and
+                         # sum|r[m:]| both < _TRUNC_TOL (blocked path)
 
 
 def design_lowpass_sos(ftype: str, order: int, highcut: float, fs: float) -> np.ndarray:
@@ -86,6 +88,20 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+# Truncation tolerance for the blocked (overlap-save) path: the residual
+# convolution error is bounded by sum|h[m:]| * max|x|, so this bounds the
+# relative output error directly (DC gain of every sweep lowpass is ~1).
+_TRUNC_TOL = 1e-6
+
+
+def _tail_len(v: np.ndarray, tol: float) -> int:
+    """Smallest m with sum|v[m:]| < tol (0 if the whole tail is below)."""
+    tails = np.cumsum(np.abs(v)[::-1])[::-1]
+    if tails[0] < tol:
+        return 0
+    return int(np.argmax(tails < tol)) if tails[-1] < tol else v.shape[0]
+
+
 @functools.lru_cache(maxsize=64)
 def _plan_cache(sos_bytes: bytes, n_sections: int, max_len: int) -> FiltFiltPlan:
     sos = np.frombuffer(sos_bytes, dtype=np.float64).reshape(n_sections, 6).copy()
@@ -100,12 +116,34 @@ def _plan_cache(sos_bytes: bytes, n_sections: int, max_len: int) -> FiltFiltPlan
     zi = _sps.sosfilt_zi(sos)
     r, _ = _sps.sosfilt(sos, np.zeros(n_ext), zi=zi)
     fft_size = _next_pow2(2 * n_ext)
+    m = max(_tail_len(h, _TRUNC_TOL), _tail_len(r, _TRUNC_TOL), 1)
     return FiltFiltPlan(
         edge=edge,
         h=h.astype(np.float32),
         r=r.astype(np.float32),
         fft_size=fft_size,
+        m=m,
     )
+
+
+@functools.lru_cache(maxsize=256)
+def _response_len_cache(sos_bytes: bytes, n_sections: int) -> int:
+    """Truncated-response length for an SOS cascade, independent of the
+    bucket length (stable poles: the response decays exponentially, so a
+    2^18-sample probe covers every design the order clamp [2,10] allows)."""
+    sos = np.frombuffer(sos_bytes, dtype=np.float64).reshape(n_sections, 6).copy()
+    probe = 1 << 18
+    impulse = np.zeros(probe)
+    impulse[0] = 1.0
+    h = _sps.sosfilt(sos, impulse)
+    zi = _sps.sosfilt_zi(sos)
+    r, _ = _sps.sosfilt(sos, np.zeros(probe), zi=zi)
+    return max(_tail_len(h, _TRUNC_TOL), _tail_len(r, _TRUNC_TOL), 1)
+
+
+def response_len(sos: np.ndarray) -> int:
+    sos = np.ascontiguousarray(sos, dtype=np.float64)
+    return _response_len_cache(sos.tobytes(), sos.shape[0])
 
 
 def make_filtfilt_plan(sos: np.ndarray, max_len: int, edge_max: int | None = None) -> FiltFiltPlan:
@@ -206,6 +244,81 @@ def sosfiltfilt_dynamic(x, length, edge, H, r, fft_size: int, edge_max: int):
     """
     Hr, Hi = H
     return _filtfilt_core(x, length, edge, Hr, Hi, r, fft_size, edge_max)
+
+
+def _block_conv(ext, x0, Hr, Hi, r_trunc, block: int):
+    """Overlap-save causal IIR pass: conv(ext, h) + x0 * r on [n_ext_buf].
+
+    Hr/Hi: rfft of the m<=block truncated impulse response, padded to
+    F = 2*block; r_trunc: [block] truncated zero-input response.  The
+    monolithic path FFTs the whole 1M-point buffer (a deep, HBM-bound
+    transform XLA handles poorly); here the signal is cut into
+    `block`-hop, 2*block-long frames via two contiguous slab slices (no
+    gathers), batched through the MXU Cooley-Tukey FFT, and each frame's
+    second half is exact because the truncated kernel (m <= block) never
+    wraps into it.
+    """
+    from ssr_eval_tpu.dsp.fft_matmul import irfft_ct, rfft_ct
+
+    n = ext.shape[0]
+    nb = -(-n // block)
+    total = (nb + 1) * block
+    padded = jnp.concatenate(
+        [jnp.zeros(block, ext.dtype), ext, jnp.zeros(total - block - n, ext.dtype)]
+    )
+    slab = padded.reshape(nb + 1, block)
+    frames = jnp.concatenate([slab[:-1], slab[1:]], axis=-1)  # [nb, 2*block]
+    Fr, Fi = rfft_ct(frames, 2 * block)
+    Yr = Fr * Hr - Fi * Hi
+    Yi = Fr * Hi + Fi * Hr
+    y = irfft_ct(Yr, Yi, 2 * block)[:, block:]  # valid: ext[k*block + t]
+    y = y.reshape(-1)[:n]
+    return y.at[: r_trunc.shape[0]].add(x0 * r_trunc)
+
+
+def sosfiltfilt_blocked(x, length, edge, H, r_trunc, block: int, edge_max: int):
+    """Zero-phase filter via overlap-save block convolution.
+
+    Same contract as `sosfiltfilt_dynamic` (filter as *data*, one program
+    per (bucket, block)), but the two causal passes are batched
+    2*block-point MXU FFTs instead of one monolithic next_pow2(2*Lmax)
+    transform.  `H` is (Hr, Hi) = rfft of the truncated impulse response
+    padded to 2*block; `r_trunc` is [block].  Requires the truncated
+    response length m <= block (guaranteed by the plan's bucket choice).
+    """
+    Hr, Hi = H
+    Lmax = x.shape[0]
+    n_ext_buf = Lmax + 2 * edge_max
+    n_ext = length + 2 * edge
+
+    ext = _odd_extend(x, length, edge, edge_max)
+    y_f = _block_conv(ext, ext[0], Hr, Hi, r_trunc, block)
+    valid = jnp.arange(n_ext_buf) < n_ext
+    y_f = jnp.where(valid, y_f, 0.0)
+
+    z = _flip_prefix(y_f, n_ext, n_ext_buf)
+    y_b = _block_conv(z, z[0], Hr, Hi, r_trunc, block)
+    y_b = jnp.where(valid, y_b, 0.0)
+
+    fb = _flip_prefix(y_b, n_ext, n_ext_buf)
+    fb = jnp.concatenate([fb, jnp.zeros(Lmax, fb.dtype)])
+    out = jax.lax.dynamic_slice(fb, (edge,), (Lmax,))
+    return jnp.where(jnp.arange(Lmax) < length, out, 0.0)
+
+
+def blocked_plan_arrays(plan: FiltFiltPlan, block: int):
+    """Host arrays for the blocked path: ((Hr, Hi) over 2*block, r[:block])."""
+    if plan.m > block:
+        raise ValueError(f"truncated response {plan.m} exceeds block {block}")
+    h = np.zeros(2 * block, dtype=np.float64)
+    h[: plan.m] = plan.h[: plan.m].astype(np.float64)
+    H = np.fft.rfft(h)
+    r = np.zeros(block, dtype=np.float32)
+    r[: plan.m] = plan.r[: plan.m]
+    return (
+        (H.real.astype(np.float32), H.imag.astype(np.float32)),
+        r,
+    )
 
 
 def _filtfilt_core(x, length, edge, Hr, Hi, r, fft_size: int, edge_max: int):

@@ -87,6 +87,71 @@ def test_order_sweep_stability():
         assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4, order
 
 
+@pytest.mark.parametrize(
+    "ftype,order,highcut",
+    [
+        ("butter", 8, 2000.0),
+        ("cheby1", 10, 1000.0),   # slow decay -> 4096 block
+        ("ellip", 10, 1000.0),    # slowest sweep design -> 16384 block
+        ("butter", 2, 12000.0),   # tiny response -> block floor
+    ],
+)
+def test_sosfiltfilt_blocked_matches_scipy(ftype, order, highcut):
+    """Overlap-save block convolution == scipy sosfiltfilt, bucketed
+    traced-length path (the engine's IIR fast path)."""
+    import jax
+
+    from ssr_eval_tpu.dsp.filters import (
+        blocked_plan_arrays,
+        response_len,
+        sosfiltfilt_blocked,
+    )
+
+    fs = 44100
+    L, Lmax = 30011, 32768
+    x = _sig(L, seed=7)
+    xb = np.zeros(Lmax, dtype=np.float32)
+    xb[:L] = x
+    sos = design_lowpass_sos(ftype, order, highcut, fs)
+    m = response_len(sos)
+    block = max(1 << (m - 1).bit_length(), 512)
+    plan = make_filtfilt_plan(sos, Lmax, edge_max=64)
+    (Hr, Hi), r = blocked_plan_arrays(plan, block)
+    got = np.asarray(
+        jax.jit(
+            lambda xb, n: sosfiltfilt_blocked(
+                xb, n, plan.edge, (jnp.asarray(Hr), jnp.asarray(Hi)),
+                jnp.asarray(r), block, 64,
+            )
+        )(jnp.asarray(xb), L)
+    )
+    ref = scipy_sosfiltfilt(sos, x.astype(np.float64))
+    scale = np.abs(ref).max()
+    assert np.abs(got[:L] - ref).max() / scale < 5e-5, (ftype, order)
+    assert np.abs(got[L:]).max() == 0.0
+
+
+def test_iir_family_key_buckets_by_block():
+    """Specs whose truncated responses fit the same block share a compiled
+    program; slow-decay designs get their own bucket."""
+    from ssr_eval_tpu.degrade.apply import family_key
+    from ssr_eval_tpu.degrade.plan import expand_settings
+
+    specs = expand_settings(
+        setting_lowpass_filtering={
+            "filter": ["butter", "ellip"],
+            "cutoff_freq": [2000, 16000],
+            "filter_order": [8],
+        },
+        sr=44100,
+    )
+    keys = {s.key: family_key(s) for s in specs}
+    assert all(k[0] == "iir" and isinstance(k[1], int) for k in keys.values())
+    # butter@16k (m~100) and ellip@1k-cutoff (m~3700) must not share a key.
+    blocks = sorted({k[1] for k in keys.values()})
+    assert len(blocks) >= 2, keys
+
+
 def test_bandpass_matches_scipy():
     """bandpass() public entry vs scipy sosfiltfilt band design
     (reference lowpass.py:54-91,199-256)."""
