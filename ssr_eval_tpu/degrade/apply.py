@@ -65,8 +65,9 @@ def iir_fft_size(max_len: int) -> int:
 
 # Overlap-save block-size floor and the cap beyond which the blocked path
 # stops paying (a >2^15-tap response would need 64k-point block FFTs; the
-# monolithic full-buffer FFT handles those rare designs instead).
-IIR_BLOCK_MIN = 512
+# monolithic full-buffer FFT handles those rare designs instead).  Floor
+# from a v5e block scan (flat 1024-8192, worse at 512 and >=16384).
+IIR_BLOCK_MIN = 1024
 IIR_BLOCK_CAP = 1 << 15
 
 
