@@ -1,14 +1,16 @@
 """MP3 compression degradation — host codec edge (reference eval.py:302-325).
 
 MP3 encode/decode is inherently host-side codec work (SURVEY §2.3); the
-reference shells out to sox.  Here the codec backend is detected at runtime
-(sox, then ffmpeg+lame-capable ffmpeg), the decode-side alignment
-(cross-correlation argmax shift, eval.py:319-320) runs on device via the
-FFT correlator, and the aligned result is cached as FLAC next to the
-source exactly like the reference (eval.py:321).
+reference shells out to sox per file.  Here the preferred backend is the
+system LAME library bound in-process (`io/mp3_lame.py` — the same encoder
+sox wraps, minus the subprocess + temp-file round trip per utterance),
+falling back to sox / ffmpeg CLIs when the library is absent.  The
+decode-side alignment (cross-correlation argmax shift, eval.py:319-320)
+runs on device via the FFT correlator, and the aligned result is cached
+as FLAC next to the source exactly like the reference (eval.py:321).
 
-Without any codec binary on the machine this raises `CodecUnavailableError`
-with a clear message instead of silently corrupting the run (the reference
+Without any codec on the machine this raises `CodecUnavailableError` with
+a clear message instead of silently corrupting the run (the reference
 never checked `os.system` return codes — SURVEY §5 'failure detection').
 """
 
@@ -32,6 +34,10 @@ class CodecUnavailableError(RuntimeError):
 
 
 def detect_backend():
+    from ssr_eval_tpu.io import mp3_lame
+
+    if mp3_lame.available():
+        return "lame"
     if shutil.which("sox"):
         return "sox"
     if shutil.which("ffmpeg"):
@@ -78,14 +84,26 @@ def mp3_degrade(file: str, x: np.ndarray, sr: int, kbps: int, cache_path: str | 
     backend = detect_backend()
     if backend is None:
         raise CodecUnavailableError(
-            "MP3 degradation requires a host codec (sox or ffmpeg); none "
-            "was found on PATH. Install one or drop setting_mp3_compression."
+            "MP3 degradation requires a host codec (the LAME library, sox, "
+            "or ffmpeg); none was found. Install one or drop "
+            "setting_mp3_compression."
         )
-    with tempfile.TemporaryDirectory() as td:
-        src = os.path.join(td, "src.wav")
-        write_wav(src, x, sr)
-        dec = _encode_decode_mp3(src, kbps, backend, td)
-        y, _ = load(dec, sr=sr)
+    if backend == "lame":
+        from ssr_eval_tpu.io.mp3_lame import decode_mp3, encode_mp3
+
+        # encode_mp3 pins the MP3 rate to sr, so dec_sr == sr always; the
+        # guard keeps a library that refuses the pin from corrupting shapes.
+        y, dec_sr = decode_mp3(encode_mp3(x, sr, kbps))
+        if dec_sr != sr:
+            raise CodecUnavailableError(
+                f"LAME produced {dec_sr} Hz audio for a {sr} Hz request"
+            )
+    else:
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "src.wav")
+            write_wav(src, x, sr)
+            dec = _encode_decode_mp3(src, kbps, backend, td)
+            y, _ = load(dec, sr=sr)
     y, x = unify_length(y.astype(np.float32), x)
     shifted = np.asarray(align_by_correlation(jnp.asarray(y), jnp.asarray(x)))
     if cache_path is not None:
