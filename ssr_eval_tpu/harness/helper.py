@@ -140,17 +140,19 @@ class SSR_Eval_Helper:
         return self.engine.evaluate_files([file])[file]
 
     def get_test_file_list(self, path):
-        ret = []
-        for file in os.listdir(path):
-            if file[-4:] != ".wav" and file[-5:] != ".flac":
-                continue
-            elif "DS_Store" in file:
-                continue
-            elif "proc" in file:
-                continue
-            else:
-                ret.append(file)
-        return ret
+        """Files eligible for scoring in a speaker directory: .wav/.flac
+        only, minus macOS metadata and minus anything a previous sweep
+        wrote (every produced artifact carries "proc" in its name —
+        reference eval.py:158-169 uses the same substring exclusion)."""
+
+        def eligible(name):
+            return (
+                (name.endswith(".wav") or name.endswith(".flac"))
+                and "DS_Store" not in name
+                and "proc" not in name
+            )
+
+        return [f for f in os.listdir(path) if eligible(f)]
 
     def evaluate(
         self,
@@ -252,30 +254,30 @@ class SSR_Eval_Helper:
         if verbose:
             print("[stats]", self.engine.stats.summary())
 
+        # Per-speaker means, then a macro average across speakers (the
+        # reference's dict_mean reduction, eval.py:200-216).  Quirk kept:
+        # the distortion-key list is re-read from each speaker's FIRST
+        # file (extra keys on later files are silently ignored), and the
+        # macro average runs over the LAST speaker's list.
         distortion_type = []
-        for speaker in final_result.keys():
-            result_cache[speaker] = {}
-            for file in final_result[speaker].keys():
-                distortion_type = list(final_result[speaker][file].keys())
-                break
-            for distortion in distortion_type:
-                result_cache[speaker][distortion] = dict_mean(
-                    [v[distortion] for v in final_result[speaker].values()]
-                )
+        for speaker, files in final_result.items():
+            first = next(iter(files.values()), {})
+            distortion_type = list(first.keys())
+            result_cache[speaker] = {
+                d: dict_mean([m[d] for m in files.values()])
+                for d in distortion_type
+            }
 
-        for distortion in distortion_type:
-            averaged_result[distortion] = dict_mean(
-                [result_cache[speaker][distortion] for speaker in final_result.keys()]
+        for d in distortion_type:
+            averaged_result[d] = dict_mean(
+                [result_cache[speaker][d] for speaker in final_result]
             )
         final_result["each_speaker"] = result_cache
         final_result["averaged"] = averaged_result
         now = datetime.now()
-        save_path = (
-            str(str(now.date()) + "-" + str(now.time()))
-            + "-"
-            + self.test_name
-            + ".json"
-        )
+        # Artifact naming parity: "<date>-<time>-<test_name>.json"
+        # (reference eval.py:219-226).
+        save_path = f"{now.date()}-{now.time()}-{self.test_name}.json"
         # Every process returns the merged result; only the coordinator
         # writes the artifact on multi-host runs.
         if not use_multihost or jax.process_index() == 0:
