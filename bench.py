@@ -257,30 +257,42 @@ def main():
         for key in r_h64[p]:
             dev_vs_h64 = max(dev_vs_h64, abs(r_wc[p][key]["lsd"] - r_h64[p][key]["lsd"]))
 
-    # ---- NVSR flagship line (random weights) ----------------------------
+    # ---- NVSR flagship line (random weights), f32 + bf16 ----------------
     nvsr_detail = {}
     if os.environ.get("SSR_BENCH_NVSR", "1") not in ("0", "false"):
         try:
             _log("nvsr flagship line")
+            import jax.numpy as jnp
+
             from ssr_eval_tpu.models.testees import NVSRTestee
 
-            nv = NVSRTestee(model_name="unet")
-            eng_nv = _engine(specs, nv, batch=4)
             n_nv = 16
-            eng_nv.evaluate_files(paths[:4])
-            t0 = time.perf_counter()
-            r_nv = eng_nv.evaluate_files(paths[:n_nv])
-            e_nv = time.perf_counter() - t0
-            per_cut = {}
-            for p in paths[:n_nv]:
-                for key, m in r_nv[p].items():
-                    per_cut.setdefault(key, []).append(m["lsd"])
+
+            def _nvsr_run(dtype):
+                nv = NVSRTestee(model_name="unet", dtype=dtype)
+                eng_nv = _engine(specs, nv, batch=4)
+                eng_nv.evaluate_files(paths[:4])
+                t0 = time.perf_counter()
+                r_nv = eng_nv.evaluate_files(paths[:n_nv])
+                e_nv = time.perf_counter() - t0
+                per_cut = {}
+                for p in paths[:n_nv]:
+                    for key, m in r_nv[p].items():
+                        per_cut.setdefault(key, []).append(float(m["lsd"]))
+                return round(n_nv / e_nv / n_chips, 3), {
+                    k: float(np.mean(v)) for k, v in per_cut.items()
+                }
+
+            thr_f32, lsd_f32 = _nvsr_run(None)
+            thr_bf16, lsd_bf16 = _nvsr_run(jnp.bfloat16)
             nvsr_detail = {
-                "utt_per_s_per_chip": round(n_nv / e_nv / n_chips, 3),
+                "utt_per_s_per_chip": thr_f32,
+                "utt_per_s_per_chip_bf16": thr_bf16,
+                "max_abs_dLSD_bf16_vs_f32": round(
+                    max(abs(lsd_f32[k] - lsd_bf16[k]) for k in lsd_f32), 6
+                ),
                 "weights": "random-init (pretrained ckpt unreachable offline)",
-                "lsd_per_cutoff": {
-                    k: round(float(np.mean(v)), 3) for k, v in per_cut.items()
-                },
+                "lsd_per_cutoff": {k: round(v, 3) for k, v in lsd_f32.items()},
             }
         except Exception as e:  # record, never kill the headline
             nvsr_detail = {"error": f"{type(e).__name__}: {e}"[:200]}
