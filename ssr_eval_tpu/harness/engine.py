@@ -52,6 +52,17 @@ def _eager_fetch() -> bool:
     return os.environ.get("SSR_EVAL_TPU_EAGER_FETCH", "0") not in ("0", "false", "")
 
 
+def _infer_fold_max() -> int:
+    """Target folded testee batch for the fused sweep (specs x utterances).
+
+    32 keeps the 65M-param NVSR's activations comfortably inside one
+    chip's HBM on 6 s buckets; override via SSR_EVAL_TPU_INFER_BATCH_MAX
+    for smaller models or shorter buckets."""
+    import os
+
+    return max(1, int(os.environ.get("SSR_EVAL_TPU_INFER_BATCH_MAX", "32")))
+
+
 class EvalEngine:
     def __init__(
         self,
@@ -222,18 +233,57 @@ class EvalEngine:
 
                 ctx_axis = None if ctx is None else 0
 
-                def per_spec(params):
-                    d = jax.vmap(deg_apply, in_axes=(ctx_axis, 0, 0, None))(
-                        ctx, x_in, n_in, params
+                # Degrade: lax.map over the spec axis (traced once, looped
+                # on device — vmapping it S-fold multiplies the HLO and
+                # explodes XLA compile time).
+                d_all = jax.lax.map(
+                    lambda params: jax.vmap(
+                        deg_apply, in_axes=(ctx_axis, 0, 0, None)
+                    )(ctx, x_in, n_in, params),
+                    params_stacked,
+                )  # [S, B, Lin]
+
+                # Infer: fold the spec axis INTO the testee batch — one
+                # [G*B] model call per spec-group instead of S sequential
+                # [B] calls.  Model stages carry a fixed per-op dispatch
+                # cost that a sequential spec loop pays S times (measured:
+                # NVSR conv stages sit at ms-level regardless of FLOPs);
+                # folding amortizes it.  Testees are batch-composition
+                # invariant (per-sample compute, eval-mode norms;
+                # tests/test_fuzz.py::test_batch_composition_invariance).
+                # The group size caps the folded batch so big sweeps don't
+                # blow activation memory.
+                S = d_all.shape[0]
+                B = x_nat.shape[0]
+                G = max(1, min(S, -(-_infer_fold_max() // B)))
+                n_groups = -(-S // G)
+                Spad = n_groups * G
+                if Spad != S:
+                    d_all = jnp.concatenate(
+                        [d_all, jnp.broadcast_to(d_all[:1], (Spad - S, *d_all.shape[1:]))]
                     )
-                    y, ny = infer_batch(d, n_in, testee_state)
-                    # testee output length is static here (trace time)
-                    lout = y.shape[1]
-                    out_plan = resample_poly_plan(
-                        self.output_sr, self.evaluation_sr, lout
+                n_tiled = jnp.tile(n_in, (G,))
+
+                def infer_group(dg):
+                    y, ny = infer_batch(
+                        dg.reshape(G * B, dg.shape[2]), n_tiled, testee_state
                     )
-                    leval = int(out_plan.out_length(lout))
-                    Wo = jnp.asarray(out_plan.Wd)
+                    return y.reshape(G, B, y.shape[1]), ny.reshape(G, B)
+
+                y_all, ny_all = jax.lax.map(
+                    infer_group, d_all.reshape(n_groups, G, B, d_all.shape[2])
+                )
+                lout = y_all.shape[3]  # static at trace time
+                y_all = y_all.reshape(Spad, B, lout)[:S]
+                ny_all = ny_all.reshape(Spad, B)[:S]
+                out_plan = resample_poly_plan(
+                    self.output_sr, self.evaluation_sr, lout
+                )
+                leval = int(out_plan.out_length(lout))
+                Wo = jnp.asarray(out_plan.Wd)
+
+                def score_spec(args):
+                    y, ny = args
 
                     def score(yy, nyy, sp, ml):
                         ye, ne = apply_resample(yy, nyy, out_plan, leval, Wo)
@@ -245,12 +295,7 @@ class EvalEngine:
                     # per batch instead of one RPC per metric key
                     return jnp.stack([m[k] for k in METRIC_KEYS]), ye, ne
 
-                # lax.map (not vmap) over the spec axis: the chain is traced
-                # ONCE and looped on device — vmapping it S-fold multiplies
-                # the HLO and explodes XLA compile time, while the runtime
-                # cost of the sequential spec loop is negligible next to
-                # the per-dispatch RPC latency this fusion removes.
-                return jax.lax.map(per_spec, params_stacked)
+                return jax.lax.map(score_spec, (y_all, ny_all))
 
             self._compiled[key] = jax.jit(pipeline)
         return self._compiled[key]
