@@ -315,6 +315,33 @@ def main():
         "utt_per_s_per_chip": round((N_UTTS // 2) / e_mx / n_chips, 3),
     }
 
+    # ---- MP3 family (in-process LAME codec, host edge) -------------------
+    mp3_detail = {}
+    try:
+        from ssr_eval_tpu.degrade.codec import detect_backend
+
+        backend = detect_backend()
+        if backend is None:
+            mp3_detail = {"skipped": "no codec available"}
+        else:
+            _log(f"mp3 family ({backend})")
+            mp3_specs = expand_settings(
+                setting_mp3_compression={"low_kbps": [32]}, sr=SR
+            )
+            eng_mp3 = _engine(mp3_specs, BatchedTestee(), batch=8)
+            n_mp3 = 16
+            eng_mp3.evaluate_files(paths[:8])
+            t0 = time.perf_counter()
+            eng_mp3.evaluate_files(paths[:n_mp3])
+            mp3_detail = {
+                "backend": backend,
+                "utt_per_s_per_chip": round(
+                    n_mp3 / (time.perf_counter() - t0) / n_chips, 3
+                ),
+            }
+    except Exception as e:
+        mp3_detail = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     _log("pallas A/B")
     try:
         pallas_ab = _pallas_ab()
@@ -352,6 +379,7 @@ def main():
                     "per_key_dLSD_identity_floor_dominated": per_key_dlsd_id,
                     "nvsr": nvsr_detail,
                     "iir_subsampling_matrix": iir_detail,
+                    "mp3": mp3_detail,
                     "pallas_ab": pallas_ab,
                     "n_chips": n_chips,
                     "backend": jax.default_backend(),
