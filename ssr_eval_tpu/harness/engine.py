@@ -4,10 +4,15 @@ reference's file-at-a-time Python loop (eval.py:128-156,171-198).
 Dataflow per (native_sr, length-bucket) group of utterances:
 
     host decode (thread pool)                                [B files]
-      └─ device, one jitted program per (spec, bucket):
+      └─ device, ONE jitted program per (spec-family, bucket):
            resample native->input_sr      (polyphase matmul)
-           degrade                        (fft-mask / IIR / subsampling)
-           testee.infer_batch             (if device-native testee)
+           degrade                        (fft-mask / IIR / subsampling;
+                                           device loop over the stacked
+                                           spec axis, params are data)
+           testee.infer_batch             (device-native testees; the
+                                           spec axis is folded into the
+                                           batch in groups — see
+                                           _infer_fold_max)
            resample output->evaluation_sr
            metrics                        (LSD/SiSpec/log-SiSpec/SSIM)
            resample native->evaluation_sr (ground-truth path, replacing
