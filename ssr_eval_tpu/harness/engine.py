@@ -593,13 +593,20 @@ class EvalEngine:
         import os
 
         d_h = np.zeros_like(x_in_h)
-        for j in range(n_real):
+
+        def one(j):
             p = paths[idxs[j]]
             stem = os.path.splitext(os.path.basename(p))[0]
             cache = os.path.join(os.path.dirname(p), f"{stem}_{spec.key}.flac")
             x = x_in_h[j, : n_in_h[j]]
-            d = mp3_degrade(p, x, spec.sr, spec.kbps, cache_path=cache)
-            d_h[j, : len(d)] = d
+            return j, mp3_degrade(p, x, spec.sr, spec.kbps, cache_path=cache)
+
+        # The codec round-trip releases the GIL inside LAME (or runs in a
+        # subprocess on the CLI backends), so utterances encode in
+        # parallel on multi-core hosts.
+        with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
+            for j, d in ex.map(one, range(n_real)):
+                d_h[j, : len(d)] = d
         for j in range(n_real, d_h.shape[0]):
             d_h[j] = d_h[0]
         self._host_infer_and_score(
