@@ -269,9 +269,12 @@ def main():
             n_nv = 16
 
             def _nvsr_run(dtype):
+                # batch 8 + fold 56 = the full 7-spec sweep in ONE folded
+                # 56-row model call per batch (measured: 21.4 utt/s bf16
+                # vs 12.5 at batch=4/fold=32).
                 nv = NVSRTestee(model_name="unet", dtype=dtype)
-                eng_nv = _engine(specs, nv, batch=4)
-                eng_nv.evaluate_files(paths[:4])
+                eng_nv = _engine(specs, nv, batch=8)
+                eng_nv.evaluate_files(paths[:8])
                 t0 = time.perf_counter()
                 r_nv = eng_nv.evaluate_files(paths[:n_nv])
                 e_nv = time.perf_counter() - t0
