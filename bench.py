@@ -266,15 +266,17 @@ def main():
 
             from ssr_eval_tpu.models.testees import NVSRTestee
 
-            n_nv = 16
+            n_nv = 32
 
-            def _nvsr_run(dtype):
-                # batch 8 + fold 56 = the full 7-spec sweep in ONE folded
-                # 56-row model call per batch (measured: 21.4 utt/s bf16
-                # vs 12.5 at batch=4/fold=32).
+            def _nvsr_run(dtype, batch, fold):
+                # Per-dtype best measured config (6 s bucket, real chip):
+                # f32 batch 8 / fold 56 (one 56-row folded model call per
+                # batch; fold 112 exhausts HBM in f32), bf16 batch 16 /
+                # fold 112 (half-size activations fit the bigger fold).
+                # vs batch 4 / fold 32: 10.7 -> 16.7 f32, 12.5 -> 24.0 bf16.
                 nv = NVSRTestee(model_name="unet", dtype=dtype)
-                eng_nv = _engine(specs, nv, batch=8)
-                eng_nv.evaluate_files(paths[:8])
+                eng_nv = _engine(specs, nv, batch=batch, infer_fold_max=fold)
+                eng_nv.evaluate_files(paths[:batch])
                 t0 = time.perf_counter()
                 r_nv = eng_nv.evaluate_files(paths[:n_nv])
                 e_nv = time.perf_counter() - t0
@@ -286,8 +288,8 @@ def main():
                     k: float(np.mean(v)) for k, v in per_cut.items()
                 }
 
-            thr_f32, lsd_f32 = _nvsr_run(None)
-            thr_bf16, lsd_bf16 = _nvsr_run(jnp.bfloat16)
+            thr_f32, lsd_f32 = _nvsr_run(None, batch=8, fold=56)
+            thr_bf16, lsd_bf16 = _nvsr_run(jnp.bfloat16, batch=16, fold=112)
             nvsr_detail = {
                 "utt_per_s_per_chip": thr_f32,
                 "utt_per_s_per_chip_bf16": thr_bf16,

@@ -88,6 +88,7 @@ class EvalEngine:
         journal=None,
         input_res_type="polyphase",
         metrics_backend="device",
+        infer_fold_max=None,
     ):
         self.specs = list(specs)
         self.input_sr = int(input_sr)
@@ -106,6 +107,10 @@ class EvalEngine:
                 f"{metrics_backend!r}"
             )
         self.metrics_backend = metrics_backend
+        # Folded testee batch cap (specs x utterances per model call);
+        # None -> _infer_fold_max()'s env/default.  bfloat16 models can
+        # run ~2x the float32 fold before activations exhaust HBM.
+        self.infer_fold_max = infer_fold_max
         self.profile_dir = profile_dir
         self.journal = journal
         self.stats = StageTimers()
@@ -263,7 +268,8 @@ class EvalEngine:
                 # blow activation memory.
                 S = d_all.shape[0]
                 B = x_nat.shape[0]
-                G = max(1, min(S, -(-_infer_fold_max() // B)))
+                fold = self.infer_fold_max or _infer_fold_max()
+                G = max(1, min(S, -(-fold // B)))
                 n_groups = -(-S // G)
                 Spad = n_groups * G
                 if Spad != S:
