@@ -362,3 +362,36 @@ def test_full_settings_matrix(vctk_root, tmp_path):
     # mild-cutoff (12 kHz) degradations: all should score better (lower
     # lsd) than heavy degradation would; sanity-range only
     assert 0.0 < r["averaged"]["proc_bw_24000_6_44100"]["lsd"] < 10.0
+
+
+def test_infer_fold_invariance(vctk_root):
+    """Folding the spec axis into the testee batch (engine.infer_fold_max)
+    must not change any metric: the fused program's group composition is a
+    scheduling choice, not a semantic one."""
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.engine import EvalEngine
+
+    files = sorted(
+        os.path.join(vctk_root, SPEAKERS[0], f)
+        for f in os.listdir(os.path.join(vctk_root, SPEAKERS[0]))
+        if f.endswith(".flac")
+    )[:3]
+    specs = expand_settings(
+        setting_fft={"cutoff_freq": [8000, 16000, 24000]}, sr=44100
+    )
+    runs = {}
+    for fold in (1, 64):  # 1 = one spec per model call; 64 = all at once
+        eng = EvalEngine(
+            specs,
+            input_sr=44100,
+            output_sr=44100,
+            evaluation_sr=44100,
+            testee=BatchedTestee(),
+            batch_size=2,
+            infer_fold_max=fold,
+        )
+        runs[fold] = eng.evaluate_files(files)
+    for p in files:
+        for key in runs[1][p]:
+            for m, v in runs[1][p][key].items():
+                assert abs(v - runs[64][p][key][m]) < 1e-5, (p, key, m)
