@@ -21,8 +21,9 @@ Sections recorded in "detail" (VERDICT r1 tasks 2/3/4/6/9):
 - nvsr: flagship-model line (random weights) — utt/s/chip + per-cutoff
   mean LSD through the fused engine.
 - iir_subsampling_matrix: mixed-family sweep throughput (default-on).
-- pallas_ab: fused Pallas dense-DFT |STFT| kernel vs the XLA
-  Cooley-Tukey path, ms per 8x266k batch.
+- pallas_ab: three-way |STFT| timing, ms per 8x266k batch — XLA
+  Cooley-Tukey path (default) vs the two selectable Pallas kernels
+  (dense-DFT, VMEM-butterfly Cooley-Tukey).
 - v5e8_extrapolated: vs_baseline x 8. Utterance-sweep evaluation is
   embarrassingly parallel over the 'data' mesh axis (no cross-chip
   collectives in the compiled program); the 8-way sharded path is
