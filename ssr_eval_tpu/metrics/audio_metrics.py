@@ -93,6 +93,49 @@ class AudioMetrics:
         )
         return x, y
 
+    # -- per-metric public surface (reference metrics.py:109-132) --------
+    # Spectrogram-level conveniences on [B, C, T, F] arrays (the layout
+    # wav_to_spectrogram emits); numpy in/out, torch tensors accepted.
+
+    @staticmethod
+    def _np4(x):
+        if hasattr(x, "detach"):  # torch tensor
+            x = x.detach().cpu().numpy()
+        x = np.asarray(x, dtype=np.float32)
+        assert x.ndim == 4, f"expected [B, C, T, F], got {x.shape}"
+        return x
+
+    def lsd(self, est, target):
+        """[B, C, 1, 1] log-spectral distance (metrics.py:109-112)."""
+        est, target = self._np4(est), self._np4(target)
+        r = np.log10(target**2 / ((est + 1e-12) ** 2) + 1e-12) ** 2
+        return np.mean(np.sqrt(np.mean(r, axis=3)), axis=2)[..., None, None]
+
+    def sispec(self, est, target):
+        """Batch-summed scale-invariant spectral SNR (metrics.py:114-121)."""
+        from ssr_eval_tpu.utils.common import energy_unify, pow_p_norm
+
+        est, target = self._np4(est), self._np4(target)
+        out, tgt = energy_unify(est, target)
+        noise = out - tgt
+        loss = 10.0 * np.log10(pow_p_norm(tgt) / (pow_p_norm(noise) + 1e-12) + 1e-12)
+        return float(np.sum(loss) / loss.shape[0])
+
+    def ssim(self, est, target):
+        """[B, C, 1, 1] mean SSIM per (batch, channel) — skimage-default
+        semantics via the jitted reduce_window kernel (metrics.py:123-132)."""
+        from ssr_eval_tpu.metrics.kernels import _ssim
+
+        est, target = self._np4(est), self._np4(target)
+        res = np.zeros(est.shape[:2])
+        for b in range(est.shape[0]):
+            for c in range(est.shape[1]):
+                res[b, c] = float(
+                    _ssim(jnp.asarray(est[b, c]), jnp.asarray(target[b, c]),
+                          est.shape[2])
+                )
+        return res[..., None, None]
+
     def evaluation(self, est, target, file=None):
         if type(est) != type(target) and not (
             isinstance(est, np.ndarray) and isinstance(target, np.ndarray)

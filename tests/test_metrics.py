@@ -127,3 +127,31 @@ def test_center_crop_parity():
     assert cx.shape == (1, 1, 17, 8) and cy.shape == (1, 1, 17, 8)
     with pytest.raises(AssertionError):
         am.center_crop(np.zeros((1, 1, 40, 8)), np.zeros((1, 1, 20, 8)))
+
+
+def test_per_metric_public_methods():
+    """AudioMetrics.lsd/.sispec/.ssim on [B, C, T, F] spectrograms match
+    the float64 oracle formulas (reference metrics.py:109-132 surface)."""
+    import numpy as np
+
+    from ssr_eval_tpu.metrics.audio_metrics import AudioMetrics
+    from tests.oracles import lsd_np, sispec_np, ssim_np
+
+    rng = np.random.default_rng(5)
+    m = AudioMetrics(44100)
+    est = np.abs(rng.standard_normal((2, 1, 64, 100))).astype(np.float32)
+    tgt = np.abs(rng.standard_normal((2, 1, 64, 100))).astype(np.float32)
+
+    lsd = m.lsd(est, tgt)
+    assert lsd.shape == (2, 1, 1, 1)
+    for b in range(2):
+        assert abs(lsd[b, 0, 0, 0] - lsd_np(est[b, 0], tgt[b, 0])) < 1e-4
+
+    si = m.sispec(est, tgt)
+    oracle = sum(sispec_np(est[b, 0], tgt[b, 0]) for b in range(2)) / 2
+    assert abs(si - oracle) < 1e-2, (si, oracle)
+
+    ss = m.ssim(est, tgt)
+    assert ss.shape == (2, 1, 1, 1)
+    for b in range(2):
+        assert abs(ss[b, 0, 0, 0] - ssim_np(est[b, 0], tgt[b, 0])) < 1e-4
