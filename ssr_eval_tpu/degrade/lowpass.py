@@ -111,6 +111,56 @@ def lowpass(data, highcut, fs, order=5, _type="butter"):
         raise ValueError("Error: Unexpected filter type " + _type)
 
 
+def _sos_filtfilt_device(sos: np.ndarray, data: np.ndarray) -> np.ndarray:
+    L = data.shape[0]
+    lmax = _bucket(L)
+    buf = np.zeros(lmax, dtype=np.float32)
+    buf[:L] = data
+    fn = _jitted_sos(np.ascontiguousarray(sos).tobytes(), lmax)
+    return np.asarray(fn(jnp.asarray(buf), jnp.int32(L)))[:L]
+
+
+def lowpass_filter(x, highcut, fs, order, ftype):
+    """Exact-type zero-phase lowpass (reference lowpass.py:94-131; unlike
+    `lowpass`, cheby2 is reachable here and the order is NOT clamped).
+    The reference's discarded `subsampling()` call at :130 is fixed by
+    omission (PARITY.md)."""
+    x = np.asarray(x, dtype=np.float32)
+    if ftype not in ("butter", "cheby1", "cheby2", "ellip", "bessel"):
+        raise ValueError(f"The lowpass filter {ftype} is not supported!")
+    from ssr_eval_tpu.dsp.filters import design_lowpass_sos
+
+    sos = design_lowpass_sos(ftype, int(order), float(highcut), float(fs))
+    return _sos_filtfilt_device(sos, x)
+
+
+def bandpass_filter(x, lowcut, highcut, fs, order, ftype):
+    """Exact-type zero-phase bandpass (reference lowpass.py:199-256
+    inner function; no order clamp)."""
+    x = np.asarray(x, dtype=np.float32)
+    if ftype not in ("butter", "cheby1", "cheby2", "ellip", "bessel"):
+        raise ValueError(f"The bandpass filter {ftype} is not supported!")
+    sos = design_bandpass_sos(ftype, int(order), int(lowcut), int(highcut), fs)
+    return _sos_filtfilt_device(sos, x)
+
+
+def stft_hard_lowpass_v0(data, lowpass_ratio):
+    """FFT-mask lowpass at a bin ratio (reference lowpass.py:17-28):
+    STFT(2048/441), zero bins >= int(n_bins * ratio), length-exact iSTFT."""
+    data = np.asarray(data, dtype=np.float32)
+    _check_1d(data)
+    from ssr_eval_tpu.degrade.apply import DEGRADE_STFT
+
+    L = data.shape[0]
+    lmax = _bucket(L)
+    buf = np.zeros(lmax, dtype=np.float32)
+    buf[:L] = data
+    fn = _jitted(("fft",), lmax)
+    cut = int(DEGRADE_STFT.n_bins * lowpass_ratio)
+    y = fn(jnp.asarray(buf), jnp.int32(L), {"cut": jnp.int32(cut)})
+    return np.asarray(y)[:L]
+
+
 def subsampling(data, lowpass_ratio, fs_ori=44100):
     """resample_poly down-then-up (reference lowpass.py:134-144)."""
     from scipy.signal import resample_poly
@@ -123,7 +173,7 @@ def subsampling(data, lowpass_ratio, fs_ori=44100):
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_bandpass(sos_key, lmax: int):
+def _jitted_sos(sos_key, lmax: int):
     sos = np.frombuffer(sos_key, dtype=np.float64).reshape(-1, 6).copy()
     plan = make_filtfilt_plan(sos, lmax)
     H, r = plan_device_arrays(plan)
@@ -142,6 +192,6 @@ def bandpass(data, lowcut, highcut, fs, order=5, _type="butter"):
             lmax = _bucket(L)
             buf = np.zeros(lmax, dtype=np.float32)
             buf[:L] = data
-            fn = _jitted_bandpass(np.ascontiguousarray(sos).tobytes(), lmax)
+            fn = _jitted_sos(np.ascontiguousarray(sos).tobytes(), lmax)
             return np.asarray(fn(jnp.asarray(buf), jnp.int32(L)))[:L]
     raise ValueError("Error: Unexpected filter type " + _type)

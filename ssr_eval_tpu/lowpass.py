@@ -3,9 +3,21 @@
 from ssr_eval_tpu.degrade.lowpass import (
     align_length,
     bandpass,
+    bandpass_filter,
     limit,
     lowpass,
+    lowpass_filter,
+    stft_hard_lowpass_v0,
     subsampling,
 )
 
-__all__ = ["align_length", "bandpass", "limit", "lowpass", "subsampling"]
+__all__ = [
+    "align_length",
+    "bandpass",
+    "bandpass_filter",
+    "limit",
+    "lowpass",
+    "lowpass_filter",
+    "stft_hard_lowpass_v0",
+    "subsampling",
+]

@@ -175,3 +175,43 @@ def test_mp3_plumbing_with_stub_codec(tmp_path, monkeypatch):
     y, sr = decode_audio(cache)
     assert sr == 44100
     np.testing.assert_allclose(y[:, 0] if y.ndim > 1 else y, out, atol=1e-4)
+
+
+def test_lowpass_filter_exact_type_matches_scipy():
+    """lowpass_filter / bandpass_filter (exact-name dispatch, no order
+    clamp, cheby2 reachable) vs float64 scipy sosfiltfilt."""
+    from scipy.signal import butter, cheby2
+
+    from ssr_eval_tpu.degrade.lowpass import bandpass_filter, lowpass_filter
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(9000).astype(np.float32)
+
+    y = lowpass_filter(x, 4000, 44100, 12, "cheby2")  # order 12: unclamped
+    sos = cheby2(12, 60, 4000 / 22050, btype="low", output="sos")
+    ref = scipy_sff(sos, x.astype(np.float64))
+    assert np.max(np.abs(y - ref)) < 5e-4 * np.max(np.abs(ref))
+
+    y = bandpass_filter(x, 1000, 6000, 44100, 4, "butter")
+    sos = butter(4, [1000 / 22050, 6000 / 22050], btype="band", output="sos")
+    ref = scipy_sff(sos, x.astype(np.float64))
+    assert np.max(np.abs(y - ref)) < 5e-4 * np.max(np.abs(ref))
+
+    with pytest.raises(ValueError, match="not supported"):
+        lowpass_filter(x, 4000, 44100, 4, "cheby")  # substring not accepted here
+
+
+def test_stft_hard_lowpass_v0_matches_oracle():
+    """stft_hard_lowpass_v0(data, ratio) vs the float64 STFT-mask oracle
+    (reference lowpass.py:17-28)."""
+    from ssr_eval_tpu.degrade.lowpass import stft_hard_lowpass_v0
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(8000).astype(np.float32)
+    ratio = 6000 / 22050
+    y = stft_hard_lowpass_v0(x, ratio)
+    Z = stft_np(x.astype(np.float64), 2048, 441)
+    Z[int(1025 * ratio):, :] = 0.0
+    ref = istft_np(Z, 2048, 441, length=len(x))
+    assert y.shape == x.shape
+    assert np.max(np.abs(y - ref)) < 1e-4
