@@ -343,6 +343,19 @@ class SSR_Eval_Helper:
 
         return unify_length(x, target)
 
+    def pad(self, x, y):
+        """Zero-pad the shorter of two 1-D arrays to the longer's length
+        (reference eval.py:280-290; dead code there, kept for parity)."""
+        if x.shape[0] == y.shape[0]:
+            return x, y
+        if x.shape[0] > y.shape[0]:
+            cache_y = np.zeros_like(x)
+            cache_y[: y.shape[0]] = y
+            return x, cache_y
+        cache_x = np.zeros_like(y)
+        cache_x[: x.shape[0]] = x
+        return cache_x, y
+
     def cache_file_name(self, key, file, suffix=".flac"):
         return os.path.join(
             os.path.dirname(file),
