@@ -105,7 +105,11 @@ def spec_params(spec: DegradationSpec, max_len: int):
         block = iir_block_size(spec)
         if block is not None:
             # Overlap-save path: params sized by the block, not the bucket.
-            (Hr, Hi), r = blocked_plan_arrays(plan, block)
+            # truncate=True: the block comes from a probe-length response
+            # measurement, so a long bucket may push plan.m marginally past
+            # it — truncation is within the error tolerance (see
+            # blocked_plan_arrays) and must not fail at sweep-build time.
+            (Hr, Hi), r = blocked_plan_arrays(plan, block, truncate=True)
             return {
                 "edge": jnp.int32(plan.edge),
                 "Hr": jnp.asarray(Hr),

@@ -89,16 +89,31 @@ def mp3_degrade(file: str, x: np.ndarray, sr: int, kbps: int, cache_path: str | 
             "setting_mp3_compression."
         )
     if backend == "lame":
-        from ssr_eval_tpu.io.mp3_lame import decode_mp3, encode_mp3
+        try:
+            from ssr_eval_tpu.io.mp3_lame import decode_mp3, encode_mp3
 
-        # encode_mp3 pins the MP3 rate to sr, so dec_sr == sr always; the
-        # guard keeps a library that refuses the pin from corrupting shapes.
-        y, dec_sr = decode_mp3(encode_mp3(x, sr, kbps))
-        if dec_sr != sr:
-            raise CodecUnavailableError(
-                f"LAME produced {dec_sr} Hz audio for a {sr} Hz request"
+            # encode_mp3 pins the MP3 rate to sr, so dec_sr == sr always;
+            # the guard keeps a library that refuses the pin from
+            # corrupting shapes.
+            y, dec_sr = decode_mp3(encode_mp3(x, sr, kbps))
+            if dec_sr != sr:
+                raise RuntimeError(
+                    f"LAME produced {dec_sr} Hz audio for a {sr} Hz request"
+                )
+        except RuntimeError as lame_err:
+            # LAME rejects non-MPEG rate / bitrate combinations that the
+            # CLI codecs handle by resampling internally — retry there
+            # before giving up (detect_backend picks LAME on availability
+            # alone).
+            backend = "sox" if shutil.which("sox") else (
+                "ffmpeg" if shutil.which("ffmpeg") else None
             )
-    else:
+            if backend is None:
+                raise CodecUnavailableError(
+                    f"LAME failed ({lame_err}) and no sox/ffmpeg CLI is "
+                    "available to fall back to"
+                ) from lame_err
+    if backend in ("sox", "ffmpeg"):
         with tempfile.TemporaryDirectory() as td:
             src = os.path.join(td, "src.wav")
             write_wav(src, x, sr)

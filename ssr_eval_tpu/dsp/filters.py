@@ -306,15 +306,24 @@ def sosfiltfilt_blocked(x, length, edge, H, r_trunc, block: int, edge_max: int):
     return jnp.where(jnp.arange(Lmax) < length, out, 0.0)
 
 
-def blocked_plan_arrays(plan: FiltFiltPlan, block: int):
-    """Host arrays for the blocked path: ((Hr, Hi) over 2*block, r[:block])."""
-    if plan.m > block:
+def blocked_plan_arrays(plan: FiltFiltPlan, block: int, truncate: bool = False):
+    """Host arrays for the blocked path: ((Hr, Hi) over 2*block, r[:block]).
+
+    With ``truncate=True`` a response slightly longer than the block is cut
+    at ``block`` instead of raising: the block is sized from a 2^18-sample
+    probe (`response_len`), so a longer bucket can nudge `plan.m` just past
+    it — the tail mass beyond the probe-derived length is below
+    ``_TRUNC_TOL`` for any stable design, so cutting keeps the error bound
+    (degrade/apply.spec_params relies on this so spec_params never fails at
+    sweep-build time)."""
+    if plan.m > block and not truncate:
         raise ValueError(f"truncated response {plan.m} exceeds block {block}")
+    m = min(plan.m, block)
     h = np.zeros(2 * block, dtype=np.float64)
-    h[: plan.m] = plan.h[: plan.m].astype(np.float64)
+    h[:m] = plan.h[:m].astype(np.float64)
     H = np.fft.rfft(h)
     r = np.zeros(block, dtype=np.float32)
-    r[: plan.m] = plan.r[: plan.m]
+    r[:m] = plan.r[:m]
     return (
         (H.real.astype(np.float32), H.imag.astype(np.float32)),
         r,

@@ -116,9 +116,22 @@ class EvalEngine:
         self.stats = StageTimers()
         enable_persistent_cache()
         self._compiled = {}
+        # (jitted fn, abstract arg shapes) + call counts per program, for
+        # exact FLOP/HBM cost accounting (utils.flops.engine_program_costs).
+        self._cost_args = {}
+        self._cost_calls = {}
         self.device_testee = bool(getattr(testee, "jittable", False)) and hasattr(
             testee, "infer_batch"
         )
+
+    def _record_cost(self, key, fn, args):
+        """Remember a dispatched program's abstract arg shapes (cheap; no
+        buffer references) so its compiled cost can be queried later."""
+        if key not in self._cost_args:
+            from ssr_eval_tpu.utils.flops import abstractify
+
+            self._cost_args[key] = (fn, abstractify(args))
+        self._cost_calls[key] = self._cost_calls.get(key, 0) + 1
 
     # ------------------------------------------------------------------
     # Compiled pipeline builders
@@ -269,7 +282,10 @@ class EvalEngine:
                 S = d_all.shape[0]
                 B = x_nat.shape[0]
                 fold = self.infer_fold_max or _infer_fold_max()
-                G = max(1, min(S, -(-fold // B)))
+                # Floor division: the folded call is G*B rows and the cap
+                # exists to bound activation HBM, so never exceed it
+                # (G=1 when B > fold is unavoidable and fine).
+                G = max(1, min(S, fold // B))
                 n_groups = -(-S // G)
                 Spad = n_groups * G
                 if Spad != S:
@@ -327,6 +343,8 @@ class EvalEngine:
         stacked = self._compiled[pkey]
         # model weights ride through jit as an ARGUMENT (never constants)
         state = self.testee.device_state()
+        self._record_cost(("fused", family_key(specs[0]), native_sr, lnat),
+                          fn, (xj, lj, stacked, state))
         return fn(xj, lj, stacked, state)  # (metrics [S,4,B], ye, ne)
 
     # ------------------------------------------------------------------
@@ -351,12 +369,6 @@ class EvalEngine:
         if x.ndim > 1:
             x = x.mean(axis=1)
         return x.astype(np.float32), int(sr)
-
-    def decode_files(self, paths):
-        """Parallel host decode -> [(mono int16|float32, native_sr)]."""
-        with self.stats.stage("decode"):
-            with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
-                return list(ex.map(self._decode_one, paths))
 
     def _pack_batch(self, sr, b, rows):
         chunk = list(rows)
@@ -495,6 +507,7 @@ class EvalEngine:
                 self.stats.counts[stage] += 1
             else:
                 prep, lin, lgt = self._prep_fn(sr, b)
+                self._record_cost(("prep", sr, b), prep, (xj, lj))
                 x_in, n_in, gt, n_gt = prep(xj, lj)
                 x_in_h = np.asarray(x_in)
                 n_in_h = np.asarray(n_in)
@@ -513,8 +526,15 @@ class EvalEngine:
                     )
 
             if self.device_testee and mp3_specs:
+                _t = _time.perf_counter()
+                # First batch of a bucket compiles the prep program even on
+                # the device-testee path; book it to `compile`, not limbo.
+                prep_fresh = ("prep", sr, b) not in self._compiled
                 prep, lin, lgt = self._prep_fn(sr, b)
                 x_in, n_in, gt, n_gt = prep(xj, lj)
+                pstage = "compile" if prep_fresh else "dispatch"
+                self.stats.seconds[pstage] += _time.perf_counter() - _t
+                self.stats.counts[pstage] += 1
                 for spec in mp3_specs:
                     self._mp3_spec(
                         results,
@@ -560,6 +580,8 @@ class EvalEngine:
                 )
 
         self.stats.seconds["drain"] += _time.perf_counter() - _t_drain
+        if pending:
+            self.stats.counts["drain"] += 1
         self.stats.add_utterances(len(paths))
 
         # Re-order each file's keys to spec order (mp3 interleaves by family).
@@ -593,7 +615,9 @@ class EvalEngine:
             yb[j] = yb[0]
             ny[j] = ny[0]
         score = self._score_fn(lout, gt.shape[1])
-        metrics, ye, ne = score(jnp.asarray(yb), jnp.asarray(ny), gt, n_gt)
+        yj, nyj = jnp.asarray(yb), jnp.asarray(ny)
+        self._record_cost(("score", lout, gt.shape[1]), score, (yj, nyj, gt, n_gt))
+        metrics, ye, ne = score(yj, nyj, gt, n_gt)
         self._collate(results, paths, idxs, spec, metrics, ye, ne, n_real, extras)
 
     def _mp3_spec(self, results, paths, idxs, spec, x_in_h, n_in_h, gt, n_gt, n_real):

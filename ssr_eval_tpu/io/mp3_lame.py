@@ -20,12 +20,22 @@ import numpy as np
 
 _LIB_NAMES = ("libmp3lame.so.0", "libmp3lame.so", "libmp3lame.dylib")
 
-# mp3data_struct field offsets (lame.h, x86-64 layout):
-#   int header_parsed; int stereo; int samplerate; int bitrate; ...
-_MP3DATA_BYTES = 256  # generous; the real struct is ~48 bytes
-_OFF_HEADER_PARSED = 0
-_OFF_STEREO = 4
-_OFF_SAMPLERATE = 8
+class Mp3Data(ctypes.Structure):
+    """lame.h mp3data_struct — declared so ctypes owns the layout (no
+    hand-maintained byte offsets)."""
+
+    _fields_ = [
+        ("header_parsed", ctypes.c_int),
+        ("stereo", ctypes.c_int),
+        ("samplerate", ctypes.c_int),
+        ("bitrate", ctypes.c_int),
+        ("nsamp", ctypes.c_ulong),
+        ("mode", ctypes.c_int),
+        ("mode_ext", ctypes.c_int),
+        ("framesize", ctypes.c_int),
+        ("totalframes", ctypes.c_int),
+        ("framenum", ctypes.c_int),
+    ]
 
 # One MPEG frame decodes to at most 1152 samples/channel; hip can flush
 # several buffered frames per call, so size the PCM buffers generously.
@@ -71,7 +81,10 @@ def _lib():
         lib.lame_close.argtypes = [c_void_p]
         lib.lame_close.restype = c_int
         lib.hip_decode_init.restype = c_void_p
-        lib.hip_decode1_headers.argtypes = [c_void_p, ubytep, ctypes.c_size_t, shortp, shortp, c_void_p]
+        lib.hip_decode1_headers.argtypes = [
+            c_void_p, ubytep, ctypes.c_size_t, shortp, shortp,
+            ctypes.POINTER(Mp3Data),
+        ]
         lib.hip_decode1_headers.restype = c_int
         lib.hip_decode_exit.argtypes = [c_void_p]
         lib.hip_decode_exit.restype = c_int
@@ -142,7 +155,7 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
         raise RuntimeError("hip_decode_init failed")
     pcm_l = (ctypes.c_short * _PCM_BUF)()
     pcm_r = (ctypes.c_short * _PCM_BUF)()
-    mp3data = (ctypes.c_ubyte * _MP3DATA_BYTES)()
+    mp3data = Mp3Data()
     chunks_l, chunks_r = [], []
     sr = 0
     stereo = 1
@@ -161,17 +174,17 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
                 piece if blen else b"\x00"
             )
             while True:
-                n = lib.hip_decode1_headers(hip, bptr, blen, pcm_l, pcm_r, mp3data)
+                n = lib.hip_decode1_headers(
+                    hip, bptr, blen, pcm_l, pcm_r, ctypes.byref(mp3data)
+                )
                 blen = 0  # the buffer is consumed on the first call
                 if n < 0:
                     raise RuntimeError(f"hip_decode error {n}")
                 if n == 0:
                     break
-                if not sr:
-                    hdr = bytes(mp3data[:12])
-                    if int.from_bytes(hdr[:4], "little", signed=True):
-                        stereo = int.from_bytes(hdr[4:8], "little", signed=True)
-                        sr = int.from_bytes(hdr[8:12], "little", signed=True)
+                if not sr and mp3data.header_parsed:
+                    stereo = int(mp3data.stereo)
+                    sr = int(mp3data.samplerate)
                 chunks_l.append(np.frombuffer(pcm_l, np.int16, n).copy())
                 if stereo == 2:
                     chunks_r.append(np.frombuffer(pcm_r, np.int16, n).copy())
