@@ -7,11 +7,16 @@ pipeline (what upstream ssr_eval does via librosa/scipy/torch on CPU —
 deliberately conservative: the actual upstream additionally pays a sox
 subprocess per file and a per-channel Python SSIM loop).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the driver parses the last stdout line, so
+it must stay short — r2's full-detail line overflowed the driver's parse
+buffer):
   {"metric": "utterances/sec/chip (VCTK fft-sweep eval)",
-   "value": ..., "unit": "utt/s/chip", "vs_baseline": ...}
+   "value": ..., "unit": "utt/s/chip", "vs_baseline": ..., "detail": {...
+   headline essentials ...}, "detail_file": "BENCH_DETAIL.json"}
+and writes the FULL detail to BENCH_DETAIL.json next to this file.
 
-Sections recorded in "detail" (VERDICT r1 tasks 2/3/4/6/9):
+Sections recorded in the detail file (VERDICT r1 tasks 2/3/4/6/9 + r2
+next-round #1/#5/#6):
 - headline: identity testee, FULL 2-32 kHz input-rate sweep (cutoffs
   1/2/4/6/8/12/16 kHz), best-of-N passes, disjoint per-stage seconds
   (decode / compile / dispatch / drain sum to ~the pass wall time).
@@ -29,6 +34,10 @@ Sections recorded in "detail" (VERDICT r1 tasks 2/3/4/6/9):
   collectives in the compiled program); the 8-way sharded path is
   validated on the virtual CPU mesh (tests/test_parallel.py) and by the
   driver's dryrun_multichip.
+- utilization: exact FLOPs/bytes per compiled program (XLA
+  cost_analysis via utils.flops) x measured calls/s -> TFLOP/s, MFU vs
+  the chip's bf16 peak, and HBM GB/s vs peak — the hardware denominator
+  for every throughput line (headline + NVSR f32/bf16).
 """
 
 from __future__ import annotations
@@ -53,6 +62,13 @@ CUTOFFS = [1000, 2000, 4000, 6000, 8000, 12000, 16000]
 BATCH = 16
 PASSES = 5
 N_BASE = 6  # CPU-baseline / accuracy subsample
+
+# SSR_BENCH_QUICK=1: tiny shapes for validating the bench *machinery*
+# (output schema, cost accounting) — numbers are meaningless.
+QUICK = os.environ.get("SSR_BENCH_QUICK", "0") not in ("0", "false", "")
+if QUICK:
+    N_UTTS, UTT_SECONDS, BATCH, PASSES, N_BASE = 8, 2.0, 4, 2, 2
+    CUTOFFS = [2000, 8000]
 
 
 def _make_dataset(root, n):
@@ -198,6 +214,12 @@ def _log(msg):
 
 
 def main():
+    if os.environ.get("SSR_BENCH_CPU", "0") not in ("0", "false", ""):
+        # Machinery validation off-chip (pairs with SSR_BENCH_QUICK; the
+        # env var JAX_PLATFORMS is ignored on this machine — CLAUDE.md).
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
     from ssr_eval_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -213,18 +235,49 @@ def main():
         setting_fft={"cutoff_freq": [2 * c for c in CUTOFFS]}, sr=SR
     )
 
+    from ssr_eval_tpu.utils.flops import (
+        chip_peaks,
+        engine_program_costs,
+        utilization,
+    )
+
+    peaks = chip_peaks()
+
+    def _engine_utilization(engine, n_utts, batch, elapsed_s):
+        """TFLOP/s + HBM GB/s for one timed pass of `engine` (uniform
+        dataset -> one fused program; exact per-call XLA cost x the
+        pass's call count)."""
+        try:
+            costs = engine_program_costs(engine)
+            fused = [c for k, c in costs.items() if k.startswith("fused")]
+            if len(fused) != 1:
+                return {"error": f"{len(fused)} fused programs (expected 1)"}
+            calls = -(-n_utts // batch)
+            u = utilization(
+                fused[0]["flops"] * calls,
+                fused[0]["bytes_accessed"] * calls,
+                1.0 / elapsed_s,
+                peaks,
+            )
+            u["flops_per_utt"] = round(fused[0]["flops"] / batch)
+            u["bytes_per_utt"] = round(fused[0]["bytes_accessed"] / batch)
+            return u
+        except Exception as e:  # cost_analysis is backend-dependent
+            return {"error": f"{type(e).__name__}: {e}"[:200]}
+
     # ---- headline: identity testee, full sweep --------------------------
     _log("headline: compiling + timing identity fft sweep")
     eng = _engine(specs, BatchedTestee())
     elapsed, stages, runs = _timed_passes(eng, paths)
-    results = eng.evaluate_files(paths[:N_BASE])  # for the oracle delta
     thr = N_UTTS / elapsed / n_chips
+    headline_util = _engine_utilization(eng, N_UTTS, BATCH, elapsed)
+    results = eng.evaluate_files(paths[:N_BASE])  # for the oracle delta
 
     # ---- CPU reference baseline (float64 NumPy, same sweep) -------------
     _log("cpu baseline oracle")
     t0 = time.perf_counter()
     oracle = {p: _f64_pipeline_one(p, CUTOFFS) for p in paths[:N_BASE]}
-    base_utt_s = 1.0 / ((time.perf_counter() - t0) / N_BASE)
+    base_utt_per_s = 1.0 / ((time.perf_counter() - t0) / N_BASE)
 
     # identity-testee delta vs the f64 oracle (floor-dominated in masked
     # bands — PARITY.md deviation 4; reported for transparency).
@@ -234,29 +287,38 @@ def main():
             d = abs(results[p][key]["lsd"] - ref["lsd"])
             per_key_dlsd_id[key] = round(max(per_key_dlsd_id.get(key, 0.0), d), 4)
 
-    # ---- accuracy: well-conditioned testee, FULL sweep ------------------
+    # ---- accuracy: well-conditioned testee, FULL sweep, ALL 4 metrics ---
     rng_noise = np.random.default_rng(777)
     noise = (1e-3 * rng_noise.standard_normal(1 << 17)).astype(np.float32)
     _log("accuracy: well-conditioned sweep")
     noisy = _make_noisy_testee(noise)
     eng_wc = _engine(specs, noisy, batch=N_BASE)
     r_wc = eng_wc.evaluate_files(paths[:N_BASE])
-    per_key_dlsd_wc = {}
+    metric_names = ("lsd", "log_sispec", "sispec", "ssim")
+    per_key_delta_wc = {}  # {key: {metric: max|device - f64 oracle|}}
     for p in paths[:N_BASE]:
         ref = _f64_pipeline_one(p, CUTOFFS, noise=noise)
         for key in ref:
-            d = abs(r_wc[p][key]["lsd"] - ref[key]["lsd"])
-            per_key_dlsd_wc[key] = round(max(per_key_dlsd_wc.get(key, 0.0), d), 7)
-    max_dlsd_wc = max(per_key_dlsd_wc.values())
+            slot = per_key_delta_wc.setdefault(key, {m: 0.0 for m in metric_names})
+            for m in metric_names:
+                d = abs(r_wc[p][key][m] - ref[key][m])
+                slot[m] = round(max(slot[m], d), 7)
+    max_delta_wc = {
+        m: max(v[m] for v in per_key_delta_wc.values()) for m in metric_names
+    }
+    max_dlsd_wc = max_delta_wc["lsd"]
 
     # cross-check: the shipped float64 host metric mode on the same sweep
     _log("accuracy: host_float64 cross-check")
     eng_h64 = _engine(specs, noisy, batch=N_BASE, metrics_backend="host_float64")
     r_h64 = eng_h64.evaluate_files(paths[:N_BASE])
-    dev_vs_h64 = 0.0
+    dev_vs_h64 = {m: 0.0 for m in metric_names}
     for p in paths[:N_BASE]:
         for key in r_h64[p]:
-            dev_vs_h64 = max(dev_vs_h64, abs(r_wc[p][key]["lsd"] - r_h64[p][key]["lsd"]))
+            for m in metric_names:
+                dev_vs_h64[m] = round(
+                    max(dev_vs_h64[m], abs(r_wc[p][key][m] - r_h64[p][key][m])), 7
+                )
 
     # ---- NVSR flagship line (random weights), f32 + bf16 ----------------
     nvsr_detail = {}
@@ -267,9 +329,11 @@ def main():
 
             from ssr_eval_tpu.models.testees import NVSRTestee
 
-            n_nv = 32
+            n_nv = 4 if QUICK else 32
+            nv_cfg_bf16 = {"batch": 2, "fold": 4} if QUICK else {"batch": 16, "fold": 112}
+            nv_cfg_f32 = {"batch": 2, "fold": 4} if QUICK else {"batch": 8, "fold": 56}
 
-            def _nvsr_run(dtype, batch, fold):
+            def _nvsr_run(dtype, batch, fold, passes=2):
                 # Per-dtype best measured config (6 s bucket, real chip):
                 # f32 batch 8 / fold 56 (one 56-row folded model call per
                 # batch; fold 112 exhausts HBM in f32), bf16 batch 16 /
@@ -278,22 +342,34 @@ def main():
                 nv = NVSRTestee(model_name="unet", dtype=dtype)
                 eng_nv = _engine(specs, nv, batch=batch, infer_fold_max=fold)
                 eng_nv.evaluate_files(paths[:batch])
-                t0 = time.perf_counter()
-                r_nv = eng_nv.evaluate_files(paths[:n_nv])
-                e_nv = time.perf_counter() - t0
+                e_nv, r_nv = None, None
+                for _ in range(passes):
+                    t0 = time.perf_counter()
+                    r_nv = eng_nv.evaluate_files(paths[:n_nv])
+                    dt = time.perf_counter() - t0
+                    e_nv = dt if e_nv is None else min(e_nv, dt)
                 per_cut = {}
                 for p in paths[:n_nv]:
                     for key, m in r_nv[p].items():
                         per_cut.setdefault(key, []).append(float(m["lsd"]))
-                return round(n_nv / e_nv / n_chips, 3), {
-                    k: float(np.mean(v)) for k, v in per_cut.items()
-                }
+                util = _engine_utilization(eng_nv, n_nv, batch, e_nv)
+                return (
+                    round(n_nv / e_nv / n_chips, 3),
+                    {k: float(np.mean(v)) for k, v in per_cut.items()},
+                    util,
+                )
 
-            thr_f32, lsd_f32 = _nvsr_run(None, batch=8, fold=56)
-            thr_bf16, lsd_bf16 = _nvsr_run(jnp.bfloat16, batch=16, fold=112)
+            # bf16 is the benched default config (VERDICT r2 #2): it is
+            # the recommended production dtype on TPU (f32 kept for the
+            # accuracy cross-check and as the conservative fallback).
+            thr_bf16, lsd_bf16, util_bf16 = _nvsr_run(jnp.bfloat16, **nv_cfg_bf16)
+            thr_f32, lsd_f32, util_f32 = _nvsr_run(None, **nv_cfg_f32)
             nvsr_detail = {
-                "utt_per_s_per_chip": thr_f32,
+                "dtype_default": "bf16",
                 "utt_per_s_per_chip_bf16": thr_bf16,
+                "utt_per_s_per_chip_f32": thr_f32,
+                "utilization_bf16": util_bf16,
+                "utilization_f32": util_f32,
                 "max_abs_dLSD_bf16_vs_f32": round(
                     max(abs(lsd_f32[k] - lsd_bf16[k]) for k in lsd_f32), 6
                 ),
@@ -334,8 +410,8 @@ def main():
             mp3_specs = expand_settings(
                 setting_mp3_compression={"low_kbps": [32]}, sr=SR
             )
-            eng_mp3 = _engine(mp3_specs, BatchedTestee(), batch=8)
-            n_mp3 = 16
+            eng_mp3 = _engine(mp3_specs, BatchedTestee(), batch=min(8, N_UTTS))
+            n_mp3 = min(16, N_UTTS)
             eng_mp3.evaluate_files(paths[:8])
             t0 = time.perf_counter()
             eng_mp3.evaluate_files(paths[:n_mp3])
@@ -348,14 +424,58 @@ def main():
     except Exception as e:
         mp3_detail = {"error": f"{type(e).__name__}: {e}"[:200]}
 
-    _log("pallas A/B")
-    try:
-        pallas_ab = _pallas_ab()
-    except Exception as e:
-        pallas_ab = {"error": f"{type(e).__name__}: {e}"[:200]}
+    if QUICK:
+        pallas_ab = {"skipped": "SSR_BENCH_QUICK"}
+    else:
+        _log("pallas A/B")
+        try:
+            pallas_ab = _pallas_ab()
+        except Exception as e:
+            pallas_ab = {"error": f"{type(e).__name__}: {e}"[:200]}
 
-    vs_baseline = thr / base_utt_s
+    vs_baseline = thr / base_utt_per_s
     stage_sum = round(sum(stages.values()), 3) if stages else None
+    full_detail = {
+        "n_utts": N_UTTS,
+        "batch": BATCH,
+        "sweep": [f"fft@{c}" for c in CUTOFFS],
+        "elapsed_s_best": round(elapsed, 3),
+        "pass_times_s": runs,
+        "stage_seconds_best_pass": stages,
+        "stage_sum_vs_elapsed_s": [stage_sum, round(elapsed, 3)],
+        "baseline_utt_per_s": round(base_utt_per_s, 4),
+        "baseline_n_utts": N_BASE,
+        "v5e8_extrapolated_vs_baseline": round(vs_baseline * 8, 1),
+        "v5e8_extrapolation_basis": (
+            "utterance-DP is collective-free; 8-way sharding validated on "
+            "the virtual mesh (tests/test_parallel.py, dryrun_multichip)"
+        ),
+        "chip": peaks,
+        "headline_utilization": headline_util,
+        "max_abs_delta_wellconditioned": max_delta_wc,
+        "per_key_delta_wellconditioned": per_key_delta_wc,
+        "max_abs_delta_device_vs_host_float64": dev_vs_h64,
+        "per_key_dLSD_identity_floor_dominated": per_key_dlsd_id,
+        "nvsr": nvsr_detail,
+        "iir_subsampling_matrix": iir_detail,
+        "mp3": mp3_detail,
+        "pallas_ab": pallas_ab,
+        "n_chips": n_chips,
+        "backend": jax.default_backend(),
+        # Cumulative over EVERYTHING this engine ran (warmup + all timed
+        # passes + the oracle-delta run) — per-pass numbers live in
+        # stage_seconds_best_pass / elapsed_s_best above.
+        "engine_stats_cumulative_all_passes": eng.stats.summary(),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(full_detail, f, indent=1)
+    _log(f"full detail -> {detail_path}")
+
+    # The driver parses the LAST stdout line; keep it compact (the full
+    # detail is in BENCH_DETAIL.json).
     print(
         json.dumps(
             {
@@ -365,32 +485,26 @@ def main():
                 "vs_baseline": round(vs_baseline, 2),
                 "detail": {
                     "n_utts": N_UTTS,
-                    "batch": BATCH,
-                    "sweep": [f"fft@{c}" for c in CUTOFFS],
+                    "sweep_cutoffs_khz": [c / 1000 for c in CUTOFFS],
                     "elapsed_s_best": round(elapsed, 3),
-                    "pass_times_s": runs,
-                    "stage_seconds_best_pass": stages,
-                    "stage_sum_vs_elapsed_s": [stage_sum, round(elapsed, 3)],
-                    "baseline_utt_s": round(base_utt_s, 4),
-                    "baseline_n_utts": N_BASE,
+                    "baseline_utt_per_s": round(base_utt_per_s, 4),
                     "v5e8_extrapolated_vs_baseline": round(vs_baseline * 8, 1),
-                    "v5e8_extrapolation_basis": (
-                        "utterance-DP is collective-free; 8-way sharding "
-                        "validated on the virtual mesh (tests/test_parallel.py, "
-                        "dryrun_multichip)"
+                    "headline_utilization": headline_util,
+                    "max_abs_delta_wellconditioned": max_delta_wc,
+                    "nvsr_utt_per_s_per_chip_bf16": nvsr_detail.get(
+                        "utt_per_s_per_chip_bf16"
                     ),
-                    "max_abs_dLSD_wellconditioned": max_dlsd_wc,
-                    "per_key_dLSD_wellconditioned": per_key_dlsd_wc,
-                    "max_abs_dLSD_device_vs_host_float64": round(dev_vs_h64, 7),
-                    "per_key_dLSD_identity_floor_dominated": per_key_dlsd_id,
-                    "nvsr": nvsr_detail,
-                    "iir_subsampling_matrix": iir_detail,
-                    "mp3": mp3_detail,
-                    "pallas_ab": pallas_ab,
+                    "nvsr_utt_per_s_per_chip_f32": nvsr_detail.get(
+                        "utt_per_s_per_chip_f32"
+                    ),
+                    "nvsr_mfu_bf16": (nvsr_detail.get("utilization_bf16") or {}).get(
+                        "mfu_vs_bf16_peak"
+                    ),
                     "n_chips": n_chips,
                     "backend": jax.default_backend(),
-                    "engine_stats": eng.stats.summary(),
+                    "device_kind": peaks.get("device_kind"),
                 },
+                "detail_file": "BENCH_DETAIL.json",
             }
         )
     )
