@@ -178,7 +178,11 @@ class SSR_Eval_Helper:
             single-process degenerate case is exercised in tests); False
             disables it.
         """
-        from ssr_eval_tpu.harness.resume import ResultJournal, load_partial
+        from ssr_eval_tpu.harness.resume import (
+            ResultJournal,
+            load_partial,
+            process_journal_path,
+        )
 
         final_result = {}
         result_cache = {}
@@ -232,7 +236,15 @@ class SSR_Eval_Helper:
 
             my_todo = shard_paths(todo)
 
-        self.engine.journal = ResultJournal(journal_path)
+        # Each process appends to its OWN journal (concurrent appends to a
+        # shared file interleave); load_partial merges all of them.
+        self.engine.journal = ResultJournal(
+            process_journal_path(
+                journal_path, jax.process_index(), jax.process_count()
+            )
+            if use_multihost
+            else journal_path
+        )
         try:
             per_file = self.engine.evaluate_files(my_todo) if my_todo else {}
         finally:

@@ -1,11 +1,16 @@
-"""Multi-host (DCN) sweep scaffolding — EXPERIMENTAL.
+"""Multi-host (DCN) sweeps: process-group init, file sharding, result
+gather, coordinator-only reporting.
 
 Single-host multi-chip evaluation is fully supported and tested (mesh
-data-axis sharding, tests/test_parallel.py).  Multi-host pods additionally
-need process-group initialization and a gather of per-host results to
-process 0 for the JSON writer.  This module provides that wiring; it
-cannot be exercised on a single-host machine, so it is scaffolding with
-the standard JAX recipes, kept import-safe and documented (TODO.md #4).
+data-axis sharding, tests/test_parallel.py).  This module adds the
+multi-process layer on top, and the full flow IS exercised for real: a
+2-process jax.distributed group over a localhost coordinator runs
+`helper.evaluate(multihost=True)` end-to-end in
+tests/test_parallel.py::test_multihost_two_process_real (round-robin
+shard -> per-process journals -> allgather merge -> coordinator-only
+JSON write, equal to the single-process result).  The one thing that
+remains unvalidated is a physical multi-NODE pod over real DCN — the
+wiring below is byte-identical in that case, only the transport differs.
 
 Usage sketch (one process per host):
 
