@@ -81,6 +81,84 @@ def fuse_weight_norm(weight_v, weight_g):
     return (v * (g / norm)).astype(v.dtype)
 
 
+def _strip_model_prefix(state_dict):
+    return {
+        (k[len("model."):] if k.startswith("model.") else k): v
+        for k, v in state_dict.items()
+    }
+
+
+def infer_vocoder_config(state_dict):
+    """Derive a `TFGANConfig` from a voicefixer-structure generator state
+    dict's tensor SHAPES alone (VERDICT r2 next-round #4), so
+    `load_vocoder_checkpoint` self-adapts when the real checkpoint differs
+    from the reconstruction:
+
+      n_mels / channels / pre kernel   <- generator.0 conv (O, I, K)
+      per-stage ratio                  <- ConvTranspose1d kernel K = 2*r
+      per-stage width                  <- ConvTranspose1d out dim
+      res-block count / kernel         <- blocks.{j}.2 convs per stage
+      post kernel                      <- head conv
+
+    Dilation VALUES leave no trace in shapes; the MelGAN/voicefixer-family
+    ladder 3**j is assumed (matches every published member).  Raises
+    ValueError when the dict is not a voicefixer-structure generator.
+    """
+    from ssr_eval_tpu.models.vocoder import TFGANConfig
+
+    sd = _strip_model_prefix(state_dict)
+
+    def wshape(prefix):
+        for leaf in ("weight_v", "weight"):
+            k = f"{prefix}.{leaf}"
+            if k in sd:
+                return tuple(_to_np(sd[k]).shape)
+        return None
+
+    pre = wshape("generator.0")
+    if pre is None or len(pre) != 3:
+        raise ValueError(
+            "not a voicefixer-structure generator state dict "
+            "(no generator.0 Conv1d weight)"
+        )
+    channels, n_mels, pre_kernel = (int(v) for v in pre)
+
+    ratios, widths, res_counts, res_kernel = [], [], [], 3
+    idx = 2
+    while True:
+        up = wshape(f"generator.{idx}.layer")
+        if up is None:
+            break
+        _, o_ch, k = (int(v) for v in up)
+        ratios.append(k // 2)
+        widths.append(o_ch)
+        j = 0
+        while (s := wshape(f"generator.{idx + 1}.blocks.{j}.2")) is not None:
+            res_kernel = int(s[2])
+            j += 1
+        res_counts.append(j)
+        idx += 3
+    post = wshape(f"generator.{idx}")
+    if not ratios or post is None:
+        raise ValueError(
+            "not a voicefixer-structure generator state dict "
+            "(no upsample stages / head conv found)"
+        )
+    if len(set(res_counts)) != 1:
+        raise ValueError(f"uneven res-block counts per stage: {res_counts}")
+    halving = widths == [channels >> (i + 1) for i in range(len(ratios))]
+    return TFGANConfig(
+        n_mels=n_mels,
+        channels=channels,
+        ratios=tuple(ratios),
+        res_dilations=tuple(3 ** j for j in range(res_counts[0])),
+        stage_channels=None if halving else tuple(widths),
+        pre_kernel=pre_kernel,
+        post_kernel=int(post[2]),
+        res_kernel=res_kernel,
+    )
+
+
 def vocoder_name_map(cfg=None):
     """torch-Sequential prefixes of the voicefixer-structure generator ->
     (flax module name in models.vocoder.TFGANGenerator, kind).
@@ -113,9 +191,7 @@ def vocoder_state_dict_to_flax(state_dict, cfg=None, wrap_model=False):
     torch Vocoder holds its generator under).  Weight-normed convs
     (`weight_v`/`weight_g`) are fused; plain `weight` passes through.
     Returns (params, unmatched_names)."""
-    sd = {}
-    for k, v in state_dict.items():
-        sd[k[len("model."):] if k.startswith("model.") else k] = v
+    sd = _strip_model_prefix(state_dict)
 
     name_map = vocoder_name_map(cfg)
     params = {}

@@ -115,11 +115,16 @@ class NVSR(nn.Module):
     # "tfgan": voicefixer-structure vocoder (reference parity, converted
     # checkpoints land here); "hifigan": the framework's native generator.
     vocoder_name: str = "tfgan"
+    # Explicit tfgan hyperparameters; None -> the 44.1 kHz preset.  Set
+    # (e.g. via convert.infer_vocoder_config) when grafting a checkpoint
+    # whose shapes differ from the reconstruction.
+    vocoder_cfg: TFGANConfig | None = None
 
     def setup(self):
         self.generator = Generator(self.model_name, self.n_mels, dtype=self.dtype)
         if self.vocoder_name == "tfgan":
-            self.vocoder = Vocoder(TFGANConfig(n_mels=self.n_mels), dtype=self.dtype)
+            cfg = self.vocoder_cfg or TFGANConfig(n_mels=self.n_mels)
+            self.vocoder = Vocoder(cfg, dtype=self.dtype)
         elif self.vocoder_name == "hifigan":
             self.vocoder = HiFiGANVocoder(n_mels=self.n_mels, dtype=self.dtype)
         else:

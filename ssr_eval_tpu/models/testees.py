@@ -126,10 +126,19 @@ class NVSRTestee(BatchedTestee):
     def load_vocoder_checkpoint(self, path, cfg=None):
         """Graft a voicefixer-structure vocoder state dict (torch) into
         the model's vocoder subtree (convert.vocoder_state_dict_to_flax).
+
+        With cfg=None the hyperparameters (widths, ratios, kernels, block
+        counts) are INFERRED from the checkpoint's tensor shapes
+        (convert.infer_vocoder_config), and the model's vocoder module is
+        rebuilt to match when they differ from the current config — the
+        real voicefixer checkpoint self-adapts with zero manual config.
         Returns the list of unmatched tensor names (empty on full match)."""
         import torch
 
-        from ssr_eval_tpu.models.convert import vocoder_state_dict_to_flax
+        from ssr_eval_tpu.models.convert import (
+            infer_vocoder_config,
+            vocoder_state_dict_to_flax,
+        )
 
         sd = torch.load(path, map_location="cpu", weights_only=False)
         if isinstance(sd, dict):
@@ -137,6 +146,11 @@ class NVSRTestee(BatchedTestee):
                 if k in sd and isinstance(sd[k], dict):
                     sd = sd[k]
                     break
+        if cfg is None:
+            cfg = infer_vocoder_config(sd)
+        if cfg != (self.model.vocoder_cfg or
+                   type(cfg)(n_mels=self.model.n_mels)):
+            self.model = self.model.clone(vocoder_cfg=cfg)
         params, unmatched = vocoder_state_dict_to_flax(sd, cfg, wrap_model=True)
         if unmatched:
             print(

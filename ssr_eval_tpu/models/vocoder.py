@@ -46,11 +46,23 @@ class TFGANConfig:
     channels: int = 512
     ratios: Sequence[int] = (7, 7, 3, 3)
     res_dilations: Sequence[int] = (1, 3, 9)
+    # Per-upsample-stage output widths; None = halve each stage (the
+    # voicefixer/MelGAN convention).  Set when a real checkpoint's widths
+    # deviate — convert.infer_vocoder_config fills this from shapes.
+    stage_channels: Sequence[int] | None = None
+    pre_kernel: int = 7
+    post_kernel: int = 7
+    res_kernel: int = 3
     leaky: float = 0.2
     # mel normalization (voicefixer vocoder front end)
     min_db: float = -115.0
     max_abs: float = 4.0
     ref_db: float = 20.0
+
+    def stage_width(self, i: int) -> int:
+        if self.stage_channels is not None:
+            return int(self.stage_channels[i])
+        return self.channels >> (i + 1)
 
 
 def normalize_mel(mel, cfg: TFGANConfig):
@@ -75,11 +87,10 @@ class TFGANGenerator(nn.Module):
     def __call__(self, cond):
         cfg = self.cfg
         a = cfg.leaky
-        x = nn.Conv(cfg.channels, (7,), padding="SAME", dtype=self.dtype,
-                    name="pre")(cond)
-        ch = cfg.channels
+        x = nn.Conv(cfg.channels, (cfg.pre_kernel,), padding="SAME",
+                    dtype=self.dtype, name="pre")(cond)
         for i, r in enumerate(cfg.ratios):
-            ch //= 2
+            ch = cfg.stage_width(i)
             x = nn.leaky_relu(x, negative_slope=a)
             # torch ConvTranspose1d(k=2r, stride=r, padding=r//2) trims
             # r//2 from both ends of the VALID output; UpsampleNet then
@@ -91,15 +102,18 @@ class TFGANGenerator(nn.Module):
                 dtype=self.dtype, name=f"up_{i}",
             )(x)[:, p : p + L * r, :]
             for j, d in enumerate(cfg.res_dilations):
+                pd = d * (cfg.res_kernel // 2)
                 h = nn.leaky_relu(x, negative_slope=a)
-                h = jnp.pad(h, ((0, 0), (d, d), (0, 0)), mode="reflect")
-                h = nn.Conv(ch, (3,), kernel_dilation=(d,), padding="VALID",
-                            dtype=self.dtype, name=f"res_{i}_{j}_d")(h)
+                h = jnp.pad(h, ((0, 0), (pd, pd), (0, 0)), mode="reflect")
+                h = nn.Conv(ch, (cfg.res_kernel,), kernel_dilation=(d,),
+                            padding="VALID", dtype=self.dtype,
+                            name=f"res_{i}_{j}_d")(h)
                 h = nn.leaky_relu(h, negative_slope=a)
                 h = nn.Conv(ch, (1,), dtype=self.dtype, name=f"res_{i}_{j}_p")(h)
                 x = x + h
         x = nn.leaky_relu(x, negative_slope=a)
-        x = nn.Conv(1, (7,), padding="SAME", dtype=self.dtype, name="post")(x)
+        x = nn.Conv(1, (cfg.post_kernel,), padding="SAME", dtype=self.dtype,
+                    name="post")(x)
         return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
 

@@ -46,14 +46,14 @@ class UpsampleNet(tnn.Module):
 
 
 class ResStack(tnn.Module):
-    def __init__(self, c, dilations):
+    def __init__(self, c, dilations, kernel=3):
         super().__init__()
         self.blocks = tnn.ModuleList(
             [
                 tnn.Sequential(
                     tnn.LeakyReLU(0.2),
-                    tnn.ReflectionPad1d(d),
-                    _wn(tnn.Conv1d(c, c, 3, dilation=d)),
+                    tnn.ReflectionPad1d(d * (kernel // 2)),
+                    _wn(tnn.Conv1d(c, c, kernel, dilation=d)),
                     tnn.LeakyReLU(0.2),
                     _wn(tnn.Conv1d(c, c, 1)),
                 )
@@ -73,18 +73,23 @@ class TorchGenerator(tnn.Module):
     def __init__(self, cfg: TFGANConfig):
         super().__init__()
         mods = [
-            _wn(tnn.Conv1d(cfg.n_mels, cfg.channels, 7, padding=3)),
+            _wn(tnn.Conv1d(cfg.n_mels, cfg.channels, cfg.pre_kernel,
+                           padding=cfg.pre_kernel // 2)),
             tnn.LeakyReLU(0.2),
         ]
         ch = cfg.channels
-        for r in cfg.ratios:
+        for i, r in enumerate(cfg.ratios):
+            out = cfg.stage_width(i)
             mods += [
-                UpsampleNet(ch, ch // 2, r),
-                ResStack(ch // 2, cfg.res_dilations),
+                UpsampleNet(ch, out, r),
+                ResStack(out, cfg.res_dilations, cfg.res_kernel),
                 tnn.LeakyReLU(0.2),
             ]
-            ch //= 2
-        mods += [_wn(tnn.Conv1d(ch, 1, 7, padding=3)), tnn.Tanh()]
+            ch = out
+        mods += [
+            _wn(tnn.Conv1d(ch, 1, cfg.post_kernel, padding=cfg.post_kernel // 2)),
+            tnn.Tanh(),
+        ]
         self.generator = tnn.Sequential(*mods)
 
     def forward(self, x):  # x: [B, C, T]
@@ -169,6 +174,61 @@ def test_default_shapes_match_flax_init():
     assert shapes(params) == shapes(init)
 
 
+# Differently-shaped voicefixer-family variants: the default-convention
+# shape, and a non-halving / odd-ratio / odd-kernel mirror.  Inference
+# must recover BOTH from tensor shapes alone (VERDICT r2 #4).
+VARIANTS = [
+    TFGANConfig(n_mels=8, channels=32, ratios=(7, 7, 3, 3), res_dilations=(1, 3, 9)),
+    TFGANConfig(
+        n_mels=10,
+        channels=24,
+        ratios=(4, 4, 2),
+        res_dilations=(1, 3),
+        stage_channels=(16, 8, 8),
+        pre_kernel=5,
+        post_kernel=9,
+    ),
+]
+
+
+@pytest.mark.parametrize("cfg", VARIANTS, ids=["halving", "nonhalving"])
+def test_infer_config_from_shapes_and_roundtrip(cfg):
+    """infer_vocoder_config recovers the full hyperparameter set from a
+    state dict's shapes, and the converted weights reproduce the torch
+    forward — zero manual config."""
+    from ssr_eval_tpu.models.convert import infer_vocoder_config
+
+    torch.manual_seed(1)
+    tg = TorchGenerator(cfg).eval()
+    sd = tg.state_dict()
+    inferred = infer_vocoder_config(sd)
+    assert inferred == cfg
+    # also via the model.-prefixed form the torch Vocoder wrapper saves
+    assert infer_vocoder_config({f"model.{k}": v for k, v in sd.items()}) == cfg
+
+    params, unmatched = vocoder_state_dict_to_flax(sd, inferred)
+    assert unmatched == []
+    rng = np.random.default_rng(11)
+    T = 6
+    cond = rng.standard_normal((1, cfg.n_mels, T)).astype(np.float32)
+    with torch.no_grad():
+        y_t = tg(torch.from_numpy(cond)).numpy()[:, 0, :]
+    y_f = TFGANGenerator(inferred).apply(
+        {"params": params}, jnp.asarray(np.transpose(cond, (0, 2, 1)))
+    )
+    assert y_f.shape[1] == T * int(np.prod(cfg.ratios))
+    np.testing.assert_allclose(np.asarray(y_f), y_t, rtol=1e-4, atol=2e-5)
+
+
+def test_infer_config_rejects_non_vocoder_dicts():
+    from ssr_eval_tpu.models.convert import infer_vocoder_config
+
+    with pytest.raises(ValueError):
+        infer_vocoder_config({"encoder.0.weight": np.zeros((4, 4, 3))})
+    with pytest.raises(ValueError):
+        infer_vocoder_config({"generator.0.weight": np.zeros((4, 4))})
+
+
 def test_default_config_shapes():
     """The 44.1 kHz preset upsamples by exactly the 441-sample hop and the
     default name map covers the full module tree."""
@@ -179,3 +239,38 @@ def test_default_config_shapes():
     assert {"pre", "post"} <= names
     assert sum(1 for n in names if n.startswith("up_")) == 4
     assert sum(1 for n in names if n.startswith("res_")) == 4 * 3 * 2
+
+
+def test_testee_vocoder_self_adaptation(tmp_path):
+    """load_vocoder_checkpoint(path) with NO config: hyperparameters are
+    inferred from the checkpoint shapes, the NVSR model's vocoder module
+    is rebuilt to match, and inference runs end-to-end with the grafted
+    weights (the real-checkpoint path, VERDICT r2 #4)."""
+    import jax.numpy as jnp2
+
+    from ssr_eval_tpu.models.testees import NVSRTestee
+
+    cfg = TFGANConfig(
+        n_mels=128,
+        channels=32,
+        ratios=(7, 7, 3, 3),
+        res_dilations=(1, 3),
+        stage_channels=(24, 16, 8, 8),
+    )
+    torch.manual_seed(5)
+    tg = TorchGenerator(cfg)
+    path = tmp_path / "voc.pth"
+    torch.save(tg.state_dict(), str(path))
+
+    nv = NVSRTestee(model_name="dnn")  # small generator; default vocoder cfg
+    assert nv.model.vocoder_cfg is None
+    unmatched = nv.load_vocoder_checkpoint(str(path))
+    assert unmatched == []
+    assert nv.model.vocoder_cfg == cfg  # module rebuilt from inference
+
+    x = jnp2.asarray(
+        0.1 * np.random.default_rng(0).standard_normal((1, 22050)).astype(np.float32)
+    )
+    y, ny = nv.infer_batch(x, jnp2.asarray([22050], dtype=jnp2.int32))
+    assert y.shape[0] == 1 and int(ny[0]) == 22050
+    assert np.isfinite(np.asarray(y)).all()
