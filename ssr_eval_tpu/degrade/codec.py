@@ -113,7 +113,7 @@ def mp3_degrade(file: str, x: np.ndarray, sr: int, kbps: int, cache_path: str | 
                     f"LAME failed ({lame_err}) and no sox/ffmpeg CLI is "
                     "available to fall back to"
                 ) from lame_err
-    if backend in ("sox", "ffmpeg"):
+    if backend != "lame":  # CLI backends (and test stubs) round-trip via files
         with tempfile.TemporaryDirectory() as td:
             src = os.path.join(td, "src.wav")
             write_wav(src, x, sr)

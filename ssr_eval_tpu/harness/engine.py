@@ -436,6 +436,17 @@ class EvalEngine:
         mp3_specs = [s for s in self.specs if s.family == "mp3"]
 
         pending = []  # async-dispatched device work, converted after the loop
+        # MP3 codec round-trips are SUBMITTED to this pool as each batch
+        # streams in and COLLECTED at drain time, so host codec work for
+        # batch k overlaps device compute (and decode) for batches k+1..N
+        # (VERDICT r2 #8; the reference runs its sox round-trip strictly
+        # serially, eval.py:302-325).  On a single-core host the overlap
+        # is limited to LAME's GIL-released sections + device-wait idle
+        # time — see the bench note.
+        codec_ex = (
+            ThreadPoolExecutor(max_workers=self.io_workers) if mp3_specs else None
+        )
+        mp3_pending = []
         import time as _time
 
         trace_cm = device_trace(self.profile_dir)
@@ -521,8 +532,11 @@ class EvalEngine:
                         results, paths, idxs, spec, np.asarray(d), n_in_h, gt, n_gt, n_real
                     )
                 for spec in mp3_specs:
-                    self._mp3_spec(
-                        results, paths, idxs, spec, x_in_h, n_in_h, gt, n_gt, n_real
+                    mp3_pending.append(
+                        (idxs, spec,
+                         self._mp3_submit(codec_ex, paths, idxs, spec,
+                                          x_in_h, n_in_h, n_real),
+                         x_in_h.shape, n_in_h, gt, n_gt, n_real)
                     )
 
             if self.device_testee and mp3_specs:
@@ -535,17 +549,14 @@ class EvalEngine:
                 pstage = "compile" if prep_fresh else "dispatch"
                 self.stats.seconds[pstage] += _time.perf_counter() - _t
                 self.stats.counts[pstage] += 1
+                x_in_h = np.asarray(x_in)
+                n_in_h = np.asarray(n_in)
                 for spec in mp3_specs:
-                    self._mp3_spec(
-                        results,
-                        paths,
-                        idxs,
-                        spec,
-                        np.asarray(x_in),
-                        np.asarray(n_in),
-                        gt,
-                        n_gt,
-                        n_real,
+                    mp3_pending.append(
+                        (idxs, spec,
+                         self._mp3_submit(codec_ex, paths, idxs, spec,
+                                          x_in_h, n_in_h, n_real),
+                         x_in_h.shape, n_in_h, gt, n_gt, n_real)
                     )
 
         trace_cm.__exit__(None, None, None)
@@ -582,6 +593,14 @@ class EvalEngine:
         self.stats.seconds["drain"] += _time.perf_counter() - _t_drain
         if pending:
             self.stats.counts["drain"] += 1
+
+        # Codec jobs submitted during streaming finish here; `codec_wait`
+        # books only the residual wait (0 when codec work fully overlapped
+        # device compute).
+        for job in mp3_pending:
+            self._mp3_collect(results, paths, job)
+        if codec_ex is not None:
+            codec_ex.shutdown(wait=True)
         self.stats.add_utterances(len(paths))
 
         # Re-order each file's keys to spec order (mp3 interleaves by family).
@@ -620,27 +639,32 @@ class EvalEngine:
         metrics, ye, ne = score(yj, nyj, gt, n_gt)
         self._collate(results, paths, idxs, spec, metrics, ye, ne, n_real, extras)
 
-    def _mp3_spec(self, results, paths, idxs, spec, x_in_h, n_in_h, gt, n_gt, n_real):
+    def _mp3_submit(self, ex, paths, idxs, spec, x_in_h, n_in_h, n_real):
+        """Queue one codec round-trip per utterance on the shared pool;
+        -> futures list.  The round-trip releases the GIL inside LAME (or
+        runs in a subprocess on the CLI backends), so codec work proceeds
+        while the main thread decodes/dispatches later batches."""
         from ssr_eval_tpu.degrade.codec import mp3_degrade
-        from ssr_eval_tpu.degrade.plan import DegradationSpec as _DS
         import os
-
-        d_h = np.zeros_like(x_in_h)
 
         def one(j):
             p = paths[idxs[j]]
             stem = os.path.splitext(os.path.basename(p))[0]
             cache = os.path.join(os.path.dirname(p), f"{stem}_{spec.key}.flac")
             x = x_in_h[j, : n_in_h[j]]
-            return j, mp3_degrade(p, x, spec.sr, spec.kbps, cache_path=cache)
+            return mp3_degrade(p, x, spec.sr, spec.kbps, cache_path=cache)
 
-        # The codec round-trip releases the GIL inside LAME (or runs in a
-        # subprocess on the CLI backends), so utterances encode in
-        # parallel on multi-core hosts.
-        with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
-            for j, d in ex.map(one, range(n_real)):
-                d_h[j, : len(d)] = d
-        for j in range(n_real, d_h.shape[0]):
+        return [ex.submit(one, j) for j in range(n_real)]
+
+    def _mp3_collect(self, results, paths, job):
+        """Drain-side: wait for a batch's codec futures, then score."""
+        idxs, spec, futs, x_shape, n_in_h, gt, n_gt, n_real = job
+        with self.stats.stage("codec_wait"):
+            outs = [f.result() for f in futs]
+        d_h = np.zeros(x_shape, np.float32)
+        for j, d in enumerate(outs):
+            d_h[j, : len(d)] = d
+        for j in range(n_real, x_shape[0]):
             d_h[j] = d_h[0]
         self._host_infer_and_score(
             results, paths, idxs, spec, d_h, n_in_h, gt, n_gt, n_real

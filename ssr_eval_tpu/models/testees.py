@@ -82,11 +82,17 @@ class NVSRTestee(BatchedTestee):
 
     jittable = True
 
-    def __init__(self, model_name="unet", params=None, seed=234, ckpt=None, dtype=None):
+    def __init__(self, model_name="unet", params=None, seed=234, ckpt=None,
+                 dtype=None, param_dtype=None):
         """dtype: model computation dtype, e.g. jnp.bfloat16 for ~2x conv
-        throughput at inference (params and the eval DSP stay float32)."""
+        throughput at inference (the eval DSP stays float32).
+        param_dtype: storage dtype for the WEIGHTS as uploaded to the
+        device (batch-norm statistics stay float32 for eval-mode
+        numerics).  jnp.bfloat16 halves weight HBM traffic and removes
+        the per-call f32->bf16 weight casts when dtype is bfloat16."""
         super().__init__()
         self.model = NVSR(model_name=model_name, dtype=dtype)
+        self.param_dtype = param_dtype
         if ckpt is not None:
             params = self.load_checkpoint(ckpt)
         if params is None:
@@ -113,7 +119,16 @@ class NVSRTestee(BatchedTestee):
             # explicit target: device_put without a device leaves arrays
             # committed to the CPU backend where they were, er, committed
             dev = jax.devices()[0]
-            self._dev_state = jax.device_put(self.variables, dev)
+            tree = self.variables
+            if self.param_dtype is not None:
+                tree = dict(tree)
+                tree["params"] = jax.tree_util.tree_map(
+                    lambda a: a.astype(self.param_dtype)
+                    if hasattr(a, "astype") and a.dtype == jnp.float32
+                    else a,
+                    tree.get("params", {}),
+                )
+            self._dev_state = jax.device_put(tree, dev)
         return self._dev_state
 
     def load_checkpoint(self, path):
