@@ -148,3 +148,40 @@ def test_engine_stage_timers_disjoint(tmp_path):
     # it (collation/python glue is the only untimed remainder).
     assert total <= wall * 1.05, (delta, wall)
     assert total >= wall * 0.5, (delta, wall)
+
+
+def test_engine_cost_accounting(tmp_path):
+    """The engine records every dispatched program's abstract shapes, and
+    utils.flops recovers exact compiled FLOP/byte costs from them
+    (the MFU/roofline denominators in BENCH_DETAIL.json)."""
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.harness.fixtures import speechlike
+    from ssr_eval_tpu.harness.testee import BatchedTestee
+    from ssr_eval_tpu.io.audio import write_wav
+    from ssr_eval_tpu.utils.flops import engine_program_costs, utilization
+
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, speechlike(0.3, 16000, seed=i), 16000)
+        paths.append(p)
+    specs = expand_settings(setting_fft={"cutoff_freq": [4000]}, sr=16000)
+    eng = EvalEngine(
+        specs, input_sr=16000, output_sr=16000, evaluation_sr=16000,
+        testee=BatchedTestee(), batch_size=2,
+    )
+    eng.evaluate_files(paths)
+    costs = engine_program_costs(eng)
+    fused = {k: c for k, c in costs.items() if k.startswith("fused")}
+    assert len(fused) == 1, costs
+    (c,) = fused.values()
+    # an STFT->mask->iSTFT->metrics chain is O(100M) flops for 2x0.3s rows
+    assert c["flops"] > 1e6 and c["bytes_accessed"] > 1e5, c
+    assert c["calls"] == 2  # 4 files / batch 2
+
+    u = utilization(c["flops"], c["bytes_accessed"], 10.0,
+                    {"bf16_tflops": 197.0, "hbm_gbps": 819.0})
+    assert u["tflops_per_s"] == round(c["flops"] * 10.0 / 1e12, 3)
+    assert 0.0 <= u["mfu_vs_bf16_peak"] <= 1.0
+    assert u["pct_of_hbm_peak"] > 0.0
