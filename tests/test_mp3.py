@@ -105,3 +105,45 @@ def test_helper_mp3_family(tmp_path, monkeypatch):
     for k in ("lsd", "log_sispec", "sispec", "ssim"):
         assert np.isfinite(m[k]), (k, m)
     assert m["lsd"] > 0.0
+
+
+def test_lame_reject_falls_back_or_errors_cleanly(monkeypatch):
+    """A sample rate LAME rejects (non-MPEG rate) must fall back to a CLI
+    codec when one exists, and raise CodecUnavailableError (not a raw
+    RuntimeError) when none does (ADVICE r2 #2)."""
+    import shutil as _shutil
+
+    import numpy as np
+    import pytest as _pytest
+
+    from ssr_eval_tpu.degrade import codec
+
+    x = (0.1 * np.sin(np.arange(13000) * 0.05)).astype(np.float32)
+
+    # no CLI available -> clean CodecUnavailableError mentioning LAME
+    monkeypatch.setattr(codec.shutil, "which", lambda name: None)
+    with _pytest.raises(codec.CodecUnavailableError, match="LAME failed"):
+        codec.mp3_degrade("utt.flac", x, 13000, 32)
+
+    # a (stubbed) sox present -> the CLI path is retried instead
+    calls = []
+
+    def fake_which(name):
+        return "/usr/bin/sox" if name == "sox" else None
+
+    def fake_encode_decode(src_wav, kbps, backend, workdir):
+        calls.append(backend)
+        import os
+
+        from ssr_eval_tpu.io.audio import read_wav, write_wav
+
+        y, sr = read_wav(src_wav)
+        out = os.path.join(workdir, "dec.wav")
+        write_wav(out, np.round(y * 1024) / 1024, sr)
+        return out
+
+    monkeypatch.setattr(codec.shutil, "which", fake_which)
+    monkeypatch.setattr(codec, "_encode_decode_mp3", fake_encode_decode)
+    out = codec.mp3_degrade("utt.flac", x, 13000, 32)
+    assert calls == ["sox"]
+    assert out.shape == x.shape
