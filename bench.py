@@ -274,10 +274,16 @@ def main():
     results = eng.evaluate_files(paths[:N_BASE])  # for the oracle delta
 
     # ---- CPU reference baseline (float64 NumPy, same sweep) -------------
+    # Best-of-2: the 1-core host's load swings single-pass timings ~2x,
+    # and taking the FASTER baseline makes vs_baseline conservative.
     _log("cpu baseline oracle")
-    t0 = time.perf_counter()
-    oracle = {p: _f64_pipeline_one(p, CUTOFFS) for p in paths[:N_BASE]}
-    base_utt_per_s = 1.0 / ((time.perf_counter() - t0) / N_BASE)
+    base_best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        oracle = {p: _f64_pipeline_one(p, CUTOFFS) for p in paths[:N_BASE]}
+        dt = time.perf_counter() - t0
+        base_best = dt if base_best is None else min(base_best, dt)
+    base_utt_per_s = 1.0 / (base_best / N_BASE)
 
     # identity-testee delta vs the f64 oracle (floor-dominated in masked
     # bands — PARITY.md deviation 4; reported for transparency).
