@@ -57,6 +57,18 @@ def _eager_fetch() -> bool:
     return os.environ.get("SSR_EVAL_TPU_EAGER_FETCH", "0") not in ("0", "false", "")
 
 
+def _max_pending() -> int:
+    """Max in-flight batches whose device results (metrics + est/gt
+    buffers) stay queued before the oldest is drained.  Bounds HBM held
+    by async outputs on production-scale sweeps (each pending fused batch
+    pins its [S, B, L] est/eval buffers, ~130 MB at the bench shapes)
+    while leaving bench-sized runs fully overlapped.  Override via
+    SSR_EVAL_TPU_MAX_PENDING."""
+    import os
+
+    return max(1, int(os.environ.get("SSR_EVAL_TPU_MAX_PENDING", "24")))
+
+
 def _infer_fold_max() -> int:
     """Target folded testee batch for the fused sweep (specs x utterances).
 
@@ -516,6 +528,14 @@ class EvalEngine:
                 stage = "compile" if fresh else "dispatch"
                 self.stats.seconds[stage] += _time.perf_counter() - _t
                 self.stats.counts[stage] += 1
+                # Bounded window: drain the OLDEST batch (most likely
+                # already executed) once too many async results are
+                # queued, so long sweeps don't pin unbounded HBM.
+                while len(pending) >= _max_pending():
+                    _t = _time.perf_counter()
+                    self._drain_one(results, paths, pending.pop(0))
+                    self.stats.seconds["drain"] += _time.perf_counter() - _t
+                    self.stats.counts["drain"] += 1
             else:
                 prep, lin, lgt = self._prep_fn(sr, b)
                 self._record_cost(("prep", sr, b), prep, (xj, lj))
@@ -559,39 +579,21 @@ class EvalEngine:
                          x_in_h.shape, n_in_h, gt, n_gt, n_real)
                     )
 
+            # Same bounded window for queued codec jobs (each pins its
+            # batch's ground-truth device buffers until scored).
+            while len(mp3_pending) >= _max_pending():
+                self._mp3_collect(results, paths, mp3_pending.pop(0))
+
         trace_cm.__exit__(None, None, None)
 
         # Drain the async queue: one bulk transfer per [S, 4, B] block.
         _t_drain = _time.perf_counter()
-        for idxs, gspecs, (metrics, ye, ne), n_real, gt_pair in pending:
-            marr = np.asarray(metrics)  # [S, 4, B]
-            want_audio = self.save_processed_result or gt_pair is not None
-            ye_h = np.asarray(ye) if want_audio else None
-            ne_h = np.asarray(ne) if want_audio else None
-            gt_h = ng_h = None
-            if gt_pair is not None:
-                gt_h = np.asarray(gt_pair[0])
-                ng_h = np.asarray(gt_pair[1])
-            for si, spec in enumerate(gspecs):
-                if gt_h is not None:
-                    m_si = self._host64_metrics(
-                        ye_h[si], ne_h[si], gt_h, ng_h, n_real
-                    )
-                else:
-                    m_si = {k: marr[si, ki] for ki, k in enumerate(METRIC_KEYS)}
-                self._collate(
-                    results,
-                    paths,
-                    idxs,
-                    spec,
-                    m_si,
-                    ye_h[si] if ye_h is not None else None,
-                    ne_h[si] if ne_h is not None else None,
-                    n_real,
-                )
+        had_pending = bool(pending)
+        for item in pending:
+            self._drain_one(results, paths, item)
 
         self.stats.seconds["drain"] += _time.perf_counter() - _t_drain
-        if pending:
+        if had_pending:
             self.stats.counts["drain"] += 1
 
         # Codec jobs submitted during streaming finish here; `codec_wait`
@@ -638,6 +640,33 @@ class EvalEngine:
         self._record_cost(("score", lout, gt.shape[1]), score, (yj, nyj, gt, n_gt))
         metrics, ye, ne = score(yj, nyj, gt, n_gt)
         self._collate(results, paths, idxs, spec, metrics, ye, ne, n_real, extras)
+
+    def _drain_one(self, results, paths, item):
+        """Host-materialize one dispatched fused batch and collate it."""
+        idxs, gspecs, (metrics, ye, ne), n_real, gt_pair = item
+        marr = np.asarray(metrics)  # [S, 4, B]
+        want_audio = self.save_processed_result or gt_pair is not None
+        ye_h = np.asarray(ye) if want_audio else None
+        ne_h = np.asarray(ne) if want_audio else None
+        gt_h = ng_h = None
+        if gt_pair is not None:
+            gt_h = np.asarray(gt_pair[0])
+            ng_h = np.asarray(gt_pair[1])
+        for si, spec in enumerate(gspecs):
+            if gt_h is not None:
+                m_si = self._host64_metrics(ye_h[si], ne_h[si], gt_h, ng_h, n_real)
+            else:
+                m_si = {k: marr[si, ki] for ki, k in enumerate(METRIC_KEYS)}
+            self._collate(
+                results,
+                paths,
+                idxs,
+                spec,
+                m_si,
+                ye_h[si] if ye_h is not None else None,
+                ne_h[si] if ne_h is not None else None,
+                n_real,
+            )
 
     def _mp3_submit(self, ex, paths, idxs, spec, x_in_h, n_in_h, n_real):
         """Queue one codec round-trip per utterance on the shared pool;

@@ -395,3 +395,38 @@ def test_infer_fold_invariance(vctk_root):
         for key in runs[1][p]:
             for m, v in runs[1][p][key].items():
                 assert abs(v - runs[64][p][key][m]) < 1e-5, (p, key, m)
+
+
+def test_pending_window_bounds_inflight_batches(tmp_path, monkeypatch):
+    """SSR_EVAL_TPU_MAX_PENDING drains the oldest dispatched batch
+    mid-stream (bounding HBM pinned by async results on long sweeps)
+    without changing any metric."""
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.harness.fixtures import speechlike
+    from ssr_eval_tpu.harness.testee import BatchedTestee
+    from ssr_eval_tpu.io.audio import write_wav
+
+    paths = []
+    for i in range(8):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, speechlike(0.3, 16000, seed=40 + i), 16000)
+        paths.append(p)
+    specs = expand_settings(setting_fft={"cutoff_freq": [4000, 6000]}, sr=16000)
+
+    def run():
+        eng = EvalEngine(
+            specs, input_sr=16000, output_sr=16000, evaluation_sr=16000,
+            testee=BatchedTestee(), batch_size=2,
+        )
+        return eng.evaluate_files(paths), eng
+
+    r_default, _ = run()
+    monkeypatch.setenv("SSR_EVAL_TPU_MAX_PENDING", "2")
+    r_windowed, eng_w = run()
+    # 4 batches with a 2-deep window -> at least two mid-stream drains
+    assert eng_w.stats.counts["drain"] >= 3
+    for p in paths:
+        for key in r_default[p]:
+            for m, v in r_default[p][key].items():
+                assert r_windowed[p][key][m] == v, (p, key, m)
