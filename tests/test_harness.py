@@ -430,3 +430,38 @@ def test_pending_window_bounds_inflight_batches(tmp_path, monkeypatch):
         for key in r_default[p]:
             for m, v in r_default[p][key].items():
                 assert r_windowed[p][key][m] == v, (p, key, m)
+
+
+def test_mixed_native_rates_and_buckets_one_pass(tmp_path):
+    """One evaluate_files call over files with DIFFERENT native rates and
+    lengths streams through multiple (sr, bucket) groups — each file's
+    metrics must match its own single-file evaluation (the reference
+    decodes per file, so mixed-rate corpora are first-class there too)."""
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.harness.fixtures import speechlike
+    from ssr_eval_tpu.harness.testee import BatchedTestee
+    from ssr_eval_tpu.io.audio import write_wav
+
+    layout = [(48000, 0.3), (44100, 0.45), (32000, 0.3), (48000, 0.9),
+              (44100, 0.45)]
+    paths = []
+    for i, (sr, dur) in enumerate(layout):
+        p = str(tmp_path / f"u{i}_{sr}.wav")
+        write_wav(p, speechlike(dur, sr, seed=70 + i), sr)
+        paths.append(p)
+    specs = expand_settings(setting_fft={"cutoff_freq": [8000]}, sr=44100)
+
+    def engine():
+        return EvalEngine(
+            specs, input_sr=44100, output_sr=44100, evaluation_sr=44100,
+            testee=BatchedTestee(), batch_size=2,
+        )
+
+    r_all = engine().evaluate_files(paths)
+    assert set(r_all) == set(paths)
+    for p in paths:
+        r_one = engine().evaluate_files([p])
+        for key in r_all[p]:
+            for m, v in r_all[p][key].items():
+                assert abs(r_one[p][key][m] - v) < 1e-6, (p, key, m)
