@@ -244,10 +244,15 @@ def main():
     peaks = chip_peaks()
 
     def _engine_utilization(engine, n_utts, batch, elapsed_s):
-        """TFLOP/s + HBM GB/s for one timed pass of `engine` (uniform
-        dataset -> one fused program; exact per-call XLA cost x the
-        pass's call count)."""
+        """PER-CHIP TFLOP/s + HBM GB/s for one timed pass of `engine`
+        (uniform dataset -> one fused program; exact per-call XLA cost x
+        the pass's call count, divided by n_chips like every thr line)."""
         try:
+            if engine.mesh is not None:
+                # Re-lowering from bare ShapeDtypeStructs drops shardings
+                # (a fresh unsharded compile through the tunnel); skip
+                # rather than report a different program's numbers.
+                return {"skipped": "mesh run; unsharded re-lower differs"}
             costs = engine_program_costs(engine)
             fused = [c for k, c in costs.items() if k.startswith("fused")]
             if len(fused) != 1:
@@ -256,7 +261,7 @@ def main():
             u = utilization(
                 fused[0]["flops"] * calls,
                 fused[0]["bytes_accessed"] * calls,
-                1.0 / elapsed_s,
+                1.0 / elapsed_s / n_chips,
                 peaks,
             )
             u["flops_per_utt"] = round(fused[0]["flops"] / batch)

@@ -33,16 +33,21 @@ class CodecUnavailableError(RuntimeError):
     pass
 
 
-def detect_backend():
-    from ssr_eval_tpu.io import mp3_lame
-
-    if mp3_lame.available():
-        return "lame"
+def _cli_backend():
+    """CLI codec priority chain (shared by detection and LAME fallback)."""
     if shutil.which("sox"):
         return "sox"
     if shutil.which("ffmpeg"):
         return "ffmpeg"
     return None
+
+
+def detect_backend():
+    from ssr_eval_tpu.io import mp3_lame
+
+    if mp3_lame.available():
+        return "lame"
+    return _cli_backend()
 
 
 def _encode_decode_mp3(src_wav: str, kbps: int, backend: str, workdir: str) -> str:
@@ -105,9 +110,7 @@ def mp3_degrade(file: str, x: np.ndarray, sr: int, kbps: int, cache_path: str | 
             # CLI codecs handle by resampling internally — retry there
             # before giving up (detect_backend picks LAME on availability
             # alone).
-            backend = "sox" if shutil.which("sox") else (
-                "ffmpeg" if shutil.which("ffmpeg") else None
-            )
+            backend = _cli_backend()
             if backend is None:
                 raise CodecUnavailableError(
                     f"LAME failed ({lame_err}) and no sox/ffmpeg CLI is "

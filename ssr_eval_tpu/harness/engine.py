@@ -447,7 +447,6 @@ class EvalEngine:
         device_specs = [s for s in self.specs if s.family != "mp3"]
         mp3_specs = [s for s in self.specs if s.family == "mp3"]
 
-        pending = []  # async-dispatched device work, converted after the loop
         # MP3 codec round-trips are SUBMITTED to this pool as each batch
         # streams in and COLLECTED at drain time, so host codec work for
         # batch k overlaps device compute (and decode) for batches k+1..N
@@ -458,133 +457,158 @@ class EvalEngine:
         codec_ex = (
             ThreadPoolExecutor(max_workers=self.io_workers) if mp3_specs else None
         )
+
+        try:
+            self._evaluate_stream(paths, results, device_specs, mp3_specs, codec_ex)
+        except BaseException:
+            # Mid-sweep failure: don't leak codec threads (cancel queued
+            # jobs; in-flight encodes finish and are discarded).
+            if codec_ex is not None:
+                codec_ex.shutdown(wait=False, cancel_futures=True)
+            raise
+        if codec_ex is not None:
+            codec_ex.shutdown(wait=True)
+        self.stats.add_utterances(len(paths))
+
+        # Re-order each file's keys to spec order (mp3 interleaves by family).
+        order = [s.key for s in self.specs]
+        for p in results:
+            results[p] = {k: results[p][k] for k in order if k in results[p]}
+        return results
+
+    def _evaluate_stream(self, paths, results, device_specs, mp3_specs, codec_ex):
+        """Streaming decode -> dispatch -> windowed drain (the body of
+        evaluate_files; split out so the wrapper can guarantee codec-pool
+        cleanup on mid-sweep failures)."""
+        pending = []  # async-dispatched device work, drained after the loop
         mp3_pending = []
         import time as _time
 
         trace_cm = device_trace(self.profile_dir)
         trace_cm.__enter__()
-        # Disjoint stage accounting (VERDICT r1 weak #4): `decode` books only
-        # generator-internal time (threaded codec + batch packing), `dispatch`
-        # books only device-call enqueue time, first-execution jit traces /
-        # XLA compiles book to `compile`, host-testee python work to
-        # `host_infer`, and `drain` is device-compute wait + D2H transfer.
-        stream = self._stream_batches(paths)
-        while True:
-            _t = _time.perf_counter()
-            item = next(stream, None)
-            self.stats.seconds["decode"] += _time.perf_counter() - _t
-            if item is None:
-                break
-            self.stats.counts["decode"] += 1
-            (sr, b), idxs, xb, lens = item
-
-            _t = _time.perf_counter()
-            # "fresh" => this batch triggers a first-execution jit trace /
-            # XLA compile; its wall time books to `compile`, not `dispatch`.
-            # Device testees compile the fused program; host paths (and the
-            # host_float64 cross-check) compile the prep program.
-            if self.device_testee and self.metrics_backend != "host_float64":
-                fresh = False
-            else:
-                fresh = ("prep", sr, b) not in self._compiled
-            if self.mesh is not None:
-                sh = batch_sharding(self.mesh)
-                xj = jax.device_put(xb, sh)
-                lj = jax.device_put(lens, sh)
-            else:
-                xj = jnp.asarray(xb)
-                lj = jnp.asarray(lens)
-            n_real = len(idxs)
-
-            if self.device_testee:
-                groups = {}
-                for spec in device_specs:
-                    groups.setdefault(family_key(spec), []).append(spec)
-                gt_pair = None
-                if self.metrics_backend == "host_float64":
-                    prep, _, _ = self._prep_fn(sr, b)
-                    _, _, gtj, ngj = prep(xj, lj)
-                    gt_pair = (gtj, ngj)
-                for fkey, gspecs in groups.items():
-                    fresh |= ("fused", fkey, sr, b) not in self._compiled
-                    # JAX dispatch is async: queue every batch's work on the
-                    # device before blocking on any transfer.
-                    out = self._fused_call(gspecs, sr, b, xj, lj)
-                    # Optionally start execution + the result transfer NOW
-                    # (SSR_EVAL_TPU_EAGER_FETCH=1): the tunneled runtime
-                    # defers work until a blocking fetch, which can
-                    # serialize decode and device compute — but the eager
-                    # fetch itself can also serialize the dispatch
-                    # pipeline, so it is measured, not assumed (bench.py).
-                    if _eager_fetch():
-                        try:
-                            out[0].copy_to_host_async()
-                            if self.save_processed_result or gt_pair is not None:
-                                out[1].copy_to_host_async()
-                                out[2].copy_to_host_async()
-                        except Exception:
-                            pass
-                    pending.append((idxs, gspecs, out, n_real, gt_pair))
-                stage = "compile" if fresh else "dispatch"
-                self.stats.seconds[stage] += _time.perf_counter() - _t
-                self.stats.counts[stage] += 1
-                # Bounded window: drain the OLDEST batch (most likely
-                # already executed) once too many async results are
-                # queued, so long sweeps don't pin unbounded HBM.
-                while len(pending) >= _max_pending():
-                    _t = _time.perf_counter()
-                    self._drain_one(results, paths, pending.pop(0))
-                    self.stats.seconds["drain"] += _time.perf_counter() - _t
-                    self.stats.counts["drain"] += 1
-            else:
-                prep, lin, lgt = self._prep_fn(sr, b)
-                self._record_cost(("prep", sr, b), prep, (xj, lj))
-                x_in, n_in, gt, n_gt = prep(xj, lj)
-                x_in_h = np.asarray(x_in)
-                n_in_h = np.asarray(n_in)
-                stage = "compile" if fresh else "dispatch"
-                self.stats.seconds[stage] += _time.perf_counter() - _t
-                self.stats.counts[stage] += 1
-                for spec in device_specs:
-                    dfn = self._degrade_fn(spec, lin)
-                    d = dfn(x_in, n_in)
-                    self._host_infer_and_score(
-                        results, paths, idxs, spec, np.asarray(d), n_in_h, gt, n_gt, n_real
-                    )
-                for spec in mp3_specs:
-                    mp3_pending.append(
-                        (idxs, spec,
-                         self._mp3_submit(codec_ex, paths, idxs, spec,
-                                          x_in_h, n_in_h, n_real),
-                         x_in_h.shape, n_in_h, gt, n_gt, n_real)
-                    )
-
-            if self.device_testee and mp3_specs:
+        try:
+            # Disjoint stage accounting (VERDICT r1 weak #4): `decode` books only
+            # generator-internal time (threaded codec + batch packing), `dispatch`
+            # books only device-call enqueue time, first-execution jit traces /
+            # XLA compiles book to `compile`, host-testee python work to
+            # `host_infer`, and `drain` is device-compute wait + D2H transfer.
+            stream = self._stream_batches(paths)
+            while True:
                 _t = _time.perf_counter()
-                # First batch of a bucket compiles the prep program even on
-                # the device-testee path; book it to `compile`, not limbo.
-                prep_fresh = ("prep", sr, b) not in self._compiled
-                prep, lin, lgt = self._prep_fn(sr, b)
-                x_in, n_in, gt, n_gt = prep(xj, lj)
-                pstage = "compile" if prep_fresh else "dispatch"
-                self.stats.seconds[pstage] += _time.perf_counter() - _t
-                self.stats.counts[pstage] += 1
-                x_in_h = np.asarray(x_in)
-                n_in_h = np.asarray(n_in)
-                for spec in mp3_specs:
-                    mp3_pending.append(
-                        (idxs, spec,
-                         self._mp3_submit(codec_ex, paths, idxs, spec,
-                                          x_in_h, n_in_h, n_real),
-                         x_in_h.shape, n_in_h, gt, n_gt, n_real)
-                    )
+                item = next(stream, None)
+                self.stats.seconds["decode"] += _time.perf_counter() - _t
+                if item is None:
+                    break
+                self.stats.counts["decode"] += 1
+                (sr, b), idxs, xb, lens = item
 
-            # Same bounded window for queued codec jobs (each pins its
-            # batch's ground-truth device buffers until scored).
-            while len(mp3_pending) >= _max_pending():
-                self._mp3_collect(results, paths, mp3_pending.pop(0))
+                _t = _time.perf_counter()
+                # "fresh" => this batch triggers a first-execution jit trace /
+                # XLA compile; its wall time books to `compile`, not `dispatch`.
+                # Device testees compile the fused program; host paths (and the
+                # host_float64 cross-check) compile the prep program.
+                if self.device_testee and self.metrics_backend != "host_float64":
+                    fresh = False
+                else:
+                    fresh = ("prep", sr, b) not in self._compiled
+                if self.mesh is not None:
+                    sh = batch_sharding(self.mesh)
+                    xj = jax.device_put(xb, sh)
+                    lj = jax.device_put(lens, sh)
+                else:
+                    xj = jnp.asarray(xb)
+                    lj = jnp.asarray(lens)
+                n_real = len(idxs)
 
-        trace_cm.__exit__(None, None, None)
+                if self.device_testee:
+                    groups = {}
+                    for spec in device_specs:
+                        groups.setdefault(family_key(spec), []).append(spec)
+                    gt_pair = None
+                    if self.metrics_backend == "host_float64":
+                        prep, _, _ = self._prep_fn(sr, b)
+                        _, _, gtj, ngj = prep(xj, lj)
+                        gt_pair = (gtj, ngj)
+                    for fkey, gspecs in groups.items():
+                        fresh |= ("fused", fkey, sr, b) not in self._compiled
+                        # JAX dispatch is async: queue every batch's work on the
+                        # device before blocking on any transfer.
+                        out = self._fused_call(gspecs, sr, b, xj, lj)
+                        # Optionally start execution + the result transfer NOW
+                        # (SSR_EVAL_TPU_EAGER_FETCH=1): the tunneled runtime
+                        # defers work until a blocking fetch, which can
+                        # serialize decode and device compute — but the eager
+                        # fetch itself can also serialize the dispatch
+                        # pipeline, so it is measured, not assumed (bench.py).
+                        if _eager_fetch():
+                            try:
+                                out[0].copy_to_host_async()
+                                if self.save_processed_result or gt_pair is not None:
+                                    out[1].copy_to_host_async()
+                                    out[2].copy_to_host_async()
+                            except Exception:
+                                pass
+                        pending.append((idxs, gspecs, out, n_real, gt_pair))
+                    stage = "compile" if fresh else "dispatch"
+                    self.stats.seconds[stage] += _time.perf_counter() - _t
+                    self.stats.counts[stage] += 1
+                    # Bounded window: drain the OLDEST batch (most likely
+                    # already executed) once too many async results are
+                    # queued, so long sweeps don't pin unbounded HBM.
+                    while len(pending) >= _max_pending():
+                        _t = _time.perf_counter()
+                        self._drain_one(results, paths, pending.pop(0))
+                        self.stats.seconds["drain"] += _time.perf_counter() - _t
+                        self.stats.counts["drain"] += 1
+                else:
+                    prep, lin, lgt = self._prep_fn(sr, b)
+                    self._record_cost(("prep", sr, b), prep, (xj, lj))
+                    x_in, n_in, gt, n_gt = prep(xj, lj)
+                    x_in_h = np.asarray(x_in)
+                    n_in_h = np.asarray(n_in)
+                    stage = "compile" if fresh else "dispatch"
+                    self.stats.seconds[stage] += _time.perf_counter() - _t
+                    self.stats.counts[stage] += 1
+                    for spec in device_specs:
+                        dfn = self._degrade_fn(spec, lin)
+                        d = dfn(x_in, n_in)
+                        self._host_infer_and_score(
+                            results, paths, idxs, spec, np.asarray(d), n_in_h, gt, n_gt, n_real
+                        )
+                    for spec in mp3_specs:
+                        mp3_pending.append(
+                            (idxs, spec,
+                             self._mp3_submit(codec_ex, paths, idxs, spec,
+                                              x_in_h, n_in_h, n_real),
+                             x_in_h.shape, n_in_h, gt, n_gt, n_real)
+                        )
+
+                if self.device_testee and mp3_specs:
+                    _t = _time.perf_counter()
+                    # First batch of a bucket compiles the prep program even on
+                    # the device-testee path; book it to `compile`, not limbo.
+                    prep_fresh = ("prep", sr, b) not in self._compiled
+                    prep, lin, lgt = self._prep_fn(sr, b)
+                    x_in, n_in, gt, n_gt = prep(xj, lj)
+                    pstage = "compile" if prep_fresh else "dispatch"
+                    self.stats.seconds[pstage] += _time.perf_counter() - _t
+                    self.stats.counts[pstage] += 1
+                    x_in_h = np.asarray(x_in)
+                    n_in_h = np.asarray(n_in)
+                    for spec in mp3_specs:
+                        mp3_pending.append(
+                            (idxs, spec,
+                             self._mp3_submit(codec_ex, paths, idxs, spec,
+                                              x_in_h, n_in_h, n_real),
+                             x_in_h.shape, n_in_h, gt, n_gt, n_real)
+                        )
+
+                # Same bounded window for queued codec jobs (each pins its
+                # batch's ground-truth device buffers until scored).
+                while len(mp3_pending) >= _max_pending():
+                    self._mp3_collect(results, paths, mp3_pending.pop(0))
+        finally:
+            trace_cm.__exit__(None, None, None)
 
         # Drain the async queue: one bulk transfer per [S, 4, B] block.
         _t_drain = _time.perf_counter()
@@ -601,15 +625,6 @@ class EvalEngine:
         # device compute).
         for job in mp3_pending:
             self._mp3_collect(results, paths, job)
-        if codec_ex is not None:
-            codec_ex.shutdown(wait=True)
-        self.stats.add_utterances(len(paths))
-
-        # Re-order each file's keys to spec order (mp3 interleaves by family).
-        order = [s.key for s in self.specs]
-        for p in results:
-            results[p] = {k: results[p][k] for k in order if k in results[p]}
-        return results
 
     def _host_infer_and_score(
         self, results, paths, idxs, spec, d_h, n_in_h, gt, n_gt, n_real

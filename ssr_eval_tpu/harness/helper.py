@@ -212,7 +212,23 @@ class SSR_Eval_Helper:
         # batched/sharded instead of the reference's nested loops.
         all_paths = [p for fs in speaker_files.values() for p in fs]
         expected_keys = {s.key for s in self.specs}
+
+        import jax
+
+        use_multihost = (
+            multihost if multihost != "auto" else jax.process_count() > 1
+        )
         partial = load_partial(journal_path) if resume else {}
+        if resume and use_multihost and jax.process_count() > 1:
+            # Journals may not be mutually visible (per-host filesystems):
+            # merge every process's resume state so all processes compute
+            # the SAME done/todo lists — divergent lists would round-robin
+            # some files onto no process at all.
+            from ssr_eval_tpu.parallel.multihost import (
+                gather_results_to_coordinator,
+            )
+
+            partial = gather_results_to_coordinator(partial)
         done = {
             p
             for p in all_paths
@@ -224,12 +240,6 @@ class SSR_Eval_Helper:
                 print("Speaker:", speaker)
             if done:
                 print(f"[resume] {len(done)}/{len(all_paths)} files already scored")
-
-        import jax
-
-        use_multihost = (
-            multihost if multihost != "auto" else jax.process_count() > 1
-        )
         my_todo = todo
         if use_multihost:
             from ssr_eval_tpu.parallel.multihost import shard_paths

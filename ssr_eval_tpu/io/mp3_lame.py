@@ -29,10 +29,10 @@ class Mp3Data(ctypes.Structure):
         ("stereo", ctypes.c_int),
         ("samplerate", ctypes.c_int),
         ("bitrate", ctypes.c_int),
-        ("nsamp", ctypes.c_ulong),
         ("mode", ctypes.c_int),
         ("mode_ext", ctypes.c_int),
         ("framesize", ctypes.c_int),
+        ("nsamp", ctypes.c_ulong),
         ("totalframes", ctypes.c_int),
         ("framenum", ctypes.c_int),
     ]

@@ -69,7 +69,12 @@ def gather_results_to_coordinator(local_results: dict) -> dict:
     for i in range(n):
         raw = bytes(gathered[i, : lens[i]])
         if raw:
-            merged.update(json.loads(raw.decode()))
+            for path, keys in json.loads(raw.decode()).items():
+                # one-level deep merge: a file's spec keys may be split
+                # across processes (e.g. resume journals written under a
+                # different sharding); paths are disjoint in the ordinary
+                # per-run gather, where this degenerates to update().
+                merged.setdefault(path, {}).update(keys)
     return merged
 
 

@@ -70,7 +70,9 @@ def engine_program_costs(engine) -> dict:
     dispatched: {label: {"flops", "bytes_accessed", "calls"}}."""
     out = {}
     for key, (fn, args) in getattr(engine, "_cost_args", {}).items():
-        label = "_".join(str(p) for p in key[:2])
+        # Full key in the label: distinct programs (per native_sr/bucket)
+        # must not collapse onto one entry.
+        label = "_".join(str(p) for p in key)
         c = compiled_cost(fn, args)
         c["calls"] = engine._cost_calls.get(key, 0)
         out[label] = c
