@@ -53,3 +53,65 @@ def test_golden_per_speaker(smoke):
     got = smoke["each_speaker"]["p360"]["proc_fft_24000_44100"]
     for k, v in GOLDEN_P360.items():
         assert abs(got[k] - v) < TOL[k], (k, got[k], v)
+
+
+# Multi-family golden (r3): identity testee over the four IIR designs +
+# polyphase subsampling on the same deterministic fixture set.  Any change
+# to filter design/application, the overlap-save path, the resamplers, or
+# the metric kernels moves these.  Keys carry the doubled cutoff + order.
+GOLDEN_FAMILIES = {
+    "proc_bw_16000_8_44100": {
+        "lsd": 6.375362, "log_sispec": 6.000253,
+        "sispec": 42.656903, "ssim": 0.619001,
+    },
+    "proc_ch_16000_8_44100": {
+        "lsd": 6.710915, "log_sispec": 6.138305,
+        "sispec": 40.906543, "ssim": 0.620319,
+    },
+    "proc_el_16000_8_44100": {
+        "lsd": 6.950412, "log_sispec": 6.518303,
+        "sispec": 41.202238, "ssim": 0.614569,
+    },
+    "proc_bessel_16000_8_44100": {
+        "lsd": 6.529512, "log_sispec": 7.144262,
+        "sispec": 26.253575, "ssim": 0.531489,
+    },
+    "proc_subsampling_16000_44100": {
+        "lsd": 3.389444, "log_sispec": 8.356344,
+        "sispec": 42.388616, "ssim": 0.624253,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def families_run(tmp_path_factory):
+    import ssr_eval_tpu
+
+    root = tmp_path_factory.mktemp("golden_fam") / "vctk_test"
+    ensure_synthetic_vctk(str(root), files_per_speaker=2)
+    wd = tmp_path_factory.mktemp("golden_fam_run")
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        return ssr_eval_tpu.SSR_Eval_Helper(
+            ssr_eval_tpu.BasicTestee(),
+            input_sr=44100, output_sr=44100, evaluation_sr=44100,
+            test_name="golden_families", test_data_root=str(root),
+            setting_lowpass_filtering={
+                "filter": ["butter", "cheby", "ellip", "bessel"],
+                "cutoff_freq": [8000], "filter_order": [8],
+            },
+            setting_subsampling={"cutoff_freq": [8000]},
+            auto_download=False, batch_size=4,
+        ).evaluate(limit_test_nums=2, limit_test_speaker=-1, verbose=False)
+    finally:
+        os.chdir(cwd)
+
+
+def test_golden_iir_and_subsampling_families(families_run):
+    got_keys = set(families_run["averaged"].keys())
+    assert got_keys == set(GOLDEN_FAMILIES), got_keys
+    for key, metrics in GOLDEN_FAMILIES.items():
+        got = families_run["averaged"][key]
+        for m, v in metrics.items():
+            assert abs(got[m] - v) < TOL[m], (key, m, got[m], v)
