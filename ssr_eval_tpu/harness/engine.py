@@ -611,8 +611,19 @@ class EvalEngine:
             trace_cm.__exit__(None, None, None)
 
         # Drain the async queue: one bulk transfer per [S, 4, B] block.
+        # Kick EVERY pending block's D2H copy before the first blocking
+        # fetch — the tunneled runtime otherwise serializes execution +
+        # transfer per batch (~35 ms RPC each).
         _t_drain = _time.perf_counter()
         had_pending = bool(pending)
+        for idxs_, _, out_, _, gt_pair_ in pending:
+            try:
+                out_[0].copy_to_host_async()
+                if self.save_processed_result or gt_pair_ is not None:
+                    out_[1].copy_to_host_async()
+                    out_[2].copy_to_host_async()
+            except Exception:
+                pass
         for item in pending:
             self._drain_one(results, paths, item)
 
