@@ -159,6 +159,12 @@ class EvalEngine:
             return windowed_sinc_plan(native_sr, self.input_sr, lnat)
         return resample_poly_plan(native_sr, self.input_sr, lnat)
 
+    def _replicated_sharding(self):
+        """Every-mesh-device replication for weights / sweep params."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(self.mesh, PartitionSpec())
+
     def _prep_fn(self, native_sr: int, lnat: int):
         """(x_nat [B,Lnat], len_nat) -> x_in, len_in, gt, len_gt."""
         key = ("prep", native_sr, lnat)
@@ -349,12 +355,23 @@ class EvalEngine:
         pkey = ("stacked_params", tuple(s.key for s in specs), lin)
         if pkey not in self._compiled:
             plist = [spec_params(s, lin) for s in specs]
-            self._compiled[pkey] = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *plist
-            )
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *plist)
+            if self.mesh is not None:
+                stacked = jax.device_put(stacked, self._replicated_sharding())
+            self._compiled[pkey] = stacked
         stacked = self._compiled[pkey]
         # model weights ride through jit as an ARGUMENT (never constants)
         state = self.testee.device_state()
+        if self.mesh is not None and state is not None:
+            # The testee commits its weights to ONE device; a mesh run
+            # needs them replicated over every mesh device or jit rejects
+            # the mixed device sets (weights replicate, batch shards).
+            skey = ("replicated_state",)
+            if skey not in self._compiled:
+                self._compiled[skey] = jax.device_put(
+                    state, self._replicated_sharding()
+                )
+            state = self._compiled[skey]
         self._record_cost(("fused", family_key(specs[0]), native_sr, lnat),
                           fn, (xj, lj, stacked, state))
         return fn(xj, lj, stacked, state)  # (metrics [S,4,B], ye, ne)

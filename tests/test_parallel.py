@@ -226,3 +226,39 @@ def test_multihost_two_process_real(tmp_path):
             for key, ms in keys.items():
                 for m, val in ms.items():
                     assert abs(r0[spk][f][key][m] - val) < 1e-5, (spk, f, key, m)
+
+
+def test_mesh_sharded_model_testee_matches_unsharded(tmp_path):
+    """The fused DEVICE-MODEL path (testee state as a jit argument) under a
+    data-mesh sharding must reproduce the unsharded metrics — weights
+    replicate, the utterance batch shards (SURVEY §2.2)."""
+    import jax.numpy as jnp
+
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.harness.fixtures import speechlike
+    from ssr_eval_tpu.io.audio import write_wav
+    from ssr_eval_tpu.models.testees import NVSRTestee
+
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, 0.2 * speechlike(0.3, 44100, seed=90 + i), 44100)
+        paths.append(p)
+    specs = expand_settings(setting_fft={"cutoff_freq": [8000]}, sr=44100)
+    nv = NVSRTestee(model_name="dnn")
+
+    def run(mesh):
+        eng = EvalEngine(
+            specs, input_sr=44100, output_sr=44100, evaluation_sr=44100,
+            testee=nv, batch_size=2, mesh=mesh,
+        )
+        return eng.evaluate_files(paths)
+
+    r_plain = run(None)
+    nv._dev_state = None  # re-place params for the sharded run
+    r_mesh = run(data_mesh(jax.devices()[:2]))
+    for p in paths:
+        for key in r_plain[p]:
+            for m, v in r_plain[p][key].items():
+                assert abs(r_mesh[p][key][m] - v) < 1e-4, (p, key, m)
