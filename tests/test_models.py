@@ -185,3 +185,33 @@ def test_bf16_inference_mode(tmp_path):
     b = r16[p]["proc_fft_8000_44100"]
     assert np.isfinite(b["lsd"])
     assert abs(a["lsd"] - b["lsd"]) < 0.5, (a["lsd"], b["lsd"])
+
+
+def test_postproc_testees_through_engine(tmp_path):
+    """Both post-processing NVSR variants (GT low-band splice; mel-tiling
+    ablation — reference main.py:112-163) run through the fused engine
+    and produce finite metrics."""
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.harness.fixtures import speechlike
+    from ssr_eval_tpu.io.audio import write_wav
+    from ssr_eval_tpu.models.testees import (
+        NVSRPaddingPostProcTestee,
+        NVSRPostProcTestee,
+    )
+
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, 0.2 * speechlike(0.3, 44100, seed=30 + i), 44100)
+        paths.append(p)
+    specs = expand_settings(setting_fft={"cutoff_freq": [8000]}, sr=44100)
+    for cls in (NVSRPostProcTestee, NVSRPaddingPostProcTestee):
+        eng = EvalEngine(
+            specs, input_sr=44100, output_sr=44100, evaluation_sr=44100,
+            testee=cls(model_name="dnn"), batch_size=2,
+        )
+        r = eng.evaluate_files(paths)
+        for p in paths:
+            m = r[p]["proc_fft_8000_44100"]
+            assert all(np.isfinite(v) for v in m.values()), (cls.__name__, m)
