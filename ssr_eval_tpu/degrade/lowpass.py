@@ -195,3 +195,28 @@ def bandpass(data, lowcut, highcut, fs, order=5, _type="butter"):
             fn = _jitted_sos(np.ascontiguousarray(sos).tobytes(), lmax)
             return np.asarray(fn(jnp.asarray(buf), jnp.int32(L)))[:L]
     raise ValueError("Error: Unexpected filter type " + _type)
+
+
+def test1():
+    """Self-test writing audible wavs for each degradation type
+    (reference lowpass.py:259-277).  librosa's bundled trumpet clip is
+    unreachable offline; a deterministic synthetic harmonic clip stands
+    in with the same rates and parameters."""
+    from ssr_eval_tpu.harness.fixtures import speechlike
+    from ssr_eval_tpu.io.audio import write_wav
+
+    data = speechlike(2.0, 44100, seed=0)
+    cutoff, fs, order = 7000, 44100, 12
+
+    print(data.shape)
+
+    data_butter = lowpass(data, cutoff, fs, order, _type="butter")
+    data_chebyshev = lowpass(data, cutoff, fs, order, _type="cheby1")
+    data_stft = lowpass(data, cutoff, fs, order, _type="stft_hard")
+    data_resample = lowpass(data, cutoff, fs, order, _type="subsampling")
+
+    write_wav("original.wav", data, 44100)
+    write_wav("butter.wav", data_butter, 44100)
+    write_wav("cheby1.wav", data_chebyshev, 44100)
+    write_wav("stft_hard.wav", data_stft, 44100)
+    write_wav("subsampling.wav", data_resample, 44100)

@@ -351,6 +351,74 @@ class SSR_Eval_Helper:
                 )[:L]
         return out
 
+    # ------------------------------------------------------------------
+    # Per-family degradation sweeps — public API parity (reference
+    # eval.py:302-421).  `preprocess`/the engine run the batched device
+    # path; these single-utterance methods remain callable directly, with
+    # the reference's key naming, cutoff==sr decrement, and shape asserts.
+    # ------------------------------------------------------------------
+
+    def _iir_sweep(self, tag, ftype, x, sr):
+        from ssr_eval_tpu.degrade.lowpass import lowpass
+
+        ret_dict = {}
+        for low_rate in self.setting_lowpass_filtering["cutoff_freq"]:
+            for order in self.setting_lowpass_filtering["filter_order"]:
+                if low_rate == sr:
+                    low_rate -= 1
+                key = f"proc_{tag}_{low_rate}_{order}_{sr}"
+                ret_dict[key] = lowpass(x, low_rate // 2, sr, order=order, _type=ftype)
+        for k in ret_dict:
+            assert ret_dict[k].shape == x.shape, str((ret_dict[k].shape, x.shape))
+        return ret_dict
+
+    def lowpass_butterworth(self, file, x, sr):
+        return self._iir_sweep("bw", "butter", x, sr)
+
+    def lowpass_chebyshev(self, file, x, sr):
+        return self._iir_sweep("ch", "cheby1", x, sr)
+
+    def lowpass_ellip(self, file, x, sr):
+        return self._iir_sweep("el", "ellip", x, sr)
+
+    def lowpass_bessel(self, file, x, sr):
+        return self._iir_sweep("bessel", "bessel", x, sr)
+
+    def lowpass_stft_hard(self, file, x, sr):
+        from ssr_eval_tpu.degrade.lowpass import lowpass
+
+        ret_dict = {}
+        for low_rate in self.setting_fft["cutoff_freq"]:
+            if low_rate == sr:
+                low_rate -= 1
+            key = f"proc_fft_{low_rate}_{sr}"
+            ret_dict[key] = lowpass(x, low_rate // 2, sr, order=1, _type="stft_hard")
+        return ret_dict
+
+    def lowpass_subsampling(self, file, x, sr):
+        from ssr_eval_tpu.degrade.lowpass import lowpass
+
+        ret_dict = {}
+        for low_rate in self.setting_subsampling["cutoff_freq"]:
+            if low_rate == sr:
+                low_rate -= 1
+            key = f"proc_subsampling_{low_rate}_{sr}"
+            ret_dict[key] = lowpass(x, low_rate // 2, sr, order=1, _type="subsampling")
+        return ret_dict
+
+    def mp3_encoding(self, file, x, sr):
+        """Codec round-trip sweep (reference eval.py:302-325): encode at
+        each kbps, realign by cross-correlation, cache the aligned flac
+        next to the source (reference writes via sf.write at :321)."""
+        from ssr_eval_tpu.degrade.codec import mp3_degrade
+
+        ret_dict = {}
+        for low_kbps in self.setting_mp3_compression["low_kbps"]:
+            key = f"proc_mp3_{low_kbps}_{sr}"
+            target_file = self.cache_file_name(key, file)
+            ret_dict[key] = mp3_degrade(file, x, sr, low_kbps, cache_path=target_file)
+        return ret_dict
+
     # Length helpers kept for API parity (reference eval.py:272-300).
     def shift(self, x, shift):
         ret = np.zeros_like(x)

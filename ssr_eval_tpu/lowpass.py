@@ -9,6 +9,7 @@ from ssr_eval_tpu.degrade.lowpass import (
     lowpass_filter,
     stft_hard_lowpass_v0,
     subsampling,
+    test1,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "lowpass_filter",
     "stft_hard_lowpass_v0",
     "subsampling",
+    "test1",
 ]

@@ -465,3 +465,49 @@ def test_mixed_native_rates_and_buckets_one_pass(tmp_path):
         for key in r_all[p]:
             for m, v in r_all[p][key].items():
                 assert abs(r_one[p][key][m] - v) < 1e-6, (p, key, m)
+
+
+def test_per_family_sweep_methods(vctk_root):
+    """The reference's public per-family sweep methods on the helper
+    (eval.py:302-421): key naming with doubled cutoffs, shape-preserving
+    output, direct delegation to the lowpass op library."""
+    import ssr_eval_tpu
+    from ssr_eval_tpu.degrade.lowpass import lowpass as lp
+
+    spk = sorted(
+        d for d in os.listdir(vctk_root)
+        if os.path.isdir(os.path.join(vctk_root, d))
+    )[0]
+    f = os.path.join(
+        vctk_root, spk,
+        sorted(os.listdir(os.path.join(vctk_root, spk)))[0],
+    )
+    h = ssr_eval_tpu.SSR_Eval_Helper(
+        BatchedTestee(), 44100, 44100, 44100,
+        test_data_root=vctk_root, auto_download=False,
+        setting_lowpass_filtering={
+            "filter": ["butter"], "cutoff_freq": [4000], "filter_order": [6]
+        },
+        setting_fft={"cutoff_freq": [4000]},
+        setting_subsampling={"cutoff_freq": [4000]},
+    )
+    x, sr = decode_audio(f)
+    x = (x[:, 0] if x.ndim > 1 else x)[: 44100 // 2].astype(np.float32)
+
+    bw = h.lowpass_butterworth(f, x, 44100)
+    assert list(bw) == ["proc_bw_8000_6_44100"]  # cutoff doubled by ctor
+    assert bw["proc_bw_8000_6_44100"].shape == x.shape
+    np.testing.assert_allclose(
+        bw["proc_bw_8000_6_44100"], lp(x, 4000, 44100, 6, "butter"), atol=1e-7
+    )
+    for meth, key in [
+        (h.lowpass_chebyshev, "proc_ch_8000_6_44100"),
+        (h.lowpass_ellip, "proc_el_8000_6_44100"),
+        (h.lowpass_bessel, "proc_bessel_8000_6_44100"),
+        (h.lowpass_stft_hard, "proc_fft_8000_44100"),
+        (h.lowpass_subsampling, "proc_subsampling_8000_44100"),
+    ]:
+        out = meth(f, x, 44100)
+        assert list(out) == [key]
+        assert out[key].shape == x.shape
+        assert float(np.abs(out[key] - x).sum()) > 0.0
