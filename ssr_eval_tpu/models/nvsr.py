@@ -173,3 +173,15 @@ def trim_center(est, ref_len):
 
 # Reference-name alias (nvsr_unet.py:18 exposes BN_GRU).
 BN_GRU = BNGRU
+
+
+def get_n_params(model_or_variables):
+    """Total parameter count (reference nvsr_unet.py:61-68 counts torch
+    params; here: leaves of a flax variables tree, or of its 'params'
+    collection when given full variables)."""
+    tree = model_or_variables
+    if isinstance(tree, dict) and "params" in tree:
+        tree = tree["params"]
+    return int(
+        sum(np.prod(np.asarray(l).shape) for l in jax.tree_util.tree_leaves(tree))
+    )

@@ -272,3 +272,9 @@ def download_checkpoint(cache_dir=None):
             "torch state dict via NVSRTestee(ckpt=...)."
         ) from e
     return path
+
+
+# Reference name parity (examples/NVSR/main.py:48-93): the base testee's
+# responsibilities (checkpoint fetch/load, wav->mel pre, device state) all
+# live on NVSRTestee here, so the base IS the plain inference testee.
+NVSRBaseTestee = NVSRTestee

@@ -137,3 +137,11 @@ class UNetRes(nn.Module):
         h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 0)))  # restore freq bin
         h = h[:, :origin_len, :, :]
         return {"mel": h}
+
+
+def UNetResComplex_100Mb(channels: int = 1, **kw):
+    """Reference-named constructor (examples/NVSR/components/unet.py:414):
+    the 6-level Res4B UNet with the published widths.  Returns a UNetRes
+    configured identically; `unet_small`'s Res1B variant is the same
+    module with blocks_per_group=1."""
+    return UNetRes(channels=channels, **kw)

@@ -73,3 +73,56 @@ def test_reference_package_exports_exist():
 
     for sym in ("SSR_Eval_Helper", "BasicTestee", "test"):
         assert hasattr(ssr_eval, sym), sym
+
+
+# ---- examples/NVSR side (repo content, not the pip package) ------------
+# The example stack's public names map onto the models/ modules.  Torch-
+# specific initializer helpers and the unet file's UNUSED legacy classes
+# are deliberately excluded (documented in COVERAGE.md C14):
+#   init_layer/init_bn/init_gru — torch in-place init; flax modules carry
+#     their initializers in the module definition.
+#   act — activation selector used only by the legacy blocks.
+#   ConvBlock/EncoderBlock/DecoderBlock(+Res1B variants in unet.py) —
+#     defined but unused by UNetResComplex_100Mb; the Res1B classes are
+#     structurally identical to Res4B (models/unet.py docstring).
+#   get_n_params appears twice in the reference (nvsr_unet + main).
+NVSR_SIDE = {
+    "examples/NVSR/nvsr_unet.py": (
+        "ssr_eval_tpu.models.nvsr",
+        {"BN_GRU", "NVSR", "Generator", "to_log", "from_log", "get_n_params"},
+    ),
+    "examples/NVSR/main.py": (
+        "ssr_eval_tpu.models.testees",
+        {"NVSRBaseTestee", "NVSRTestee", "NVSRPostProcTestee",
+         "NVSRPaddingPostProcTestee"},
+    ),
+    "examples/NVSR/mel_scale.py": (
+        "ssr_eval_tpu.models.mel",
+        {"MelScale", "melscale_fbanks"},
+    ),
+    "examples/NVSR/components/unet.py": (
+        "ssr_eval_tpu.models.unet",
+        {"UNetResComplex_100Mb", "ConvBlockRes"},
+    ),
+}
+
+
+@pytest.mark.parametrize("ref_file", sorted(NVSR_SIDE))
+def test_nvsr_side_symbols_exist(ref_file):
+    path = os.path.join(os.path.dirname(REF_ROOT), ref_file)
+    mod_name, expected = NVSR_SIDE[ref_file]
+    ref_syms = set(_public_symbols(os.path.join("/root/reference", ref_file)))
+    # the curated set must stay a subset of what the reference really has
+    assert expected <= ref_syms | {"NVSRBaseTestee"}, expected - ref_syms
+    ours = importlib.import_module(mod_name)
+    missing = [s for s in expected if not hasattr(ours, s)]
+    assert not missing, f"{mod_name} lacks: {missing}"
+
+
+def test_nvsr_side_extra_symbols_from_main():
+    """main.py's free functions live in models.nvsr (to_log/from_log/
+    trim_center/get_n_params are shared with nvsr_unet there)."""
+    from ssr_eval_tpu.models import nvsr
+
+    for s in ("to_log", "from_log", "trim_center", "get_n_params"):
+        assert hasattr(nvsr, s), s
