@@ -17,7 +17,9 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <atomic>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -513,6 +515,59 @@ int ssrio_encode_flac(const char* path, const float* data, int64_t n_samples,
   if (!f) return -101;
   fwrite(stream.data(), 1, stream.size(), f);
   fclose(f);
+  return 0;
+}
+
+// Batched parallel decode: n_files FLAC files across C++ worker threads
+// (no Python/GIL on the hot path — one ctypes call decodes a whole
+// engine batch).  Per file i:
+//   kinds[i] =  0 -> outs[i] is int16*  (16-bit fast path)
+//   kinds[i] =  1 -> outs[i] is float*  (non-16-bit streams)
+//   kinds[i] <  0 -> decode error rc, outs[i] = NULL
+// Caller frees each non-NULL outs[i] with ssrio_free.
+int ssrio_decode_batch(const char** paths, int n_files, int n_threads,
+                       void** outs, int64_t* n_samples, int* channels,
+                       int* srs, int* kinds) {
+  if (n_files <= 0) return 0;
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 0) n_threads = 1;
+  if (n_threads > n_files) n_threads = n_files;
+
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_files) return;
+      outs[i] = nullptr;
+      n_samples[i] = 0;
+      channels[i] = 0;
+      srs[i] = 0;
+      std::vector<uint8_t> buf;
+      if (!read_file(paths[i], buf)) { kinds[i] = -100; continue; }
+      std::vector<int32_t> pcm;
+      int bps = 0;
+      int rc = decode_flac_ints(buf.data(), buf.size(), pcm, &n_samples[i],
+                                &channels[i], &srs[i], &bps);
+      if (rc != 0) { kinds[i] = rc; continue; }
+      if (bps == 16) {
+        int16_t* mem = (int16_t*)malloc(pcm.size() * sizeof(int16_t));
+        if (!mem) { kinds[i] = -7; continue; }
+        for (size_t j = 0; j < pcm.size(); j++) mem[j] = (int16_t)pcm[j];
+        outs[i] = mem;
+        kinds[i] = 0;
+      } else {
+        float* mem = (float*)malloc(pcm.size() * sizeof(float));
+        if (!mem) { kinds[i] = -7; continue; }
+        float scale = 1.0f / (float)(1ll << (bps - 1));
+        for (size_t j = 0; j < pcm.size(); j++) mem[j] = (float)pcm[j] * scale;
+        outs[i] = mem;
+        kinds[i] = 1;
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
   return 0;
 }
 

@@ -381,7 +381,20 @@ class EvalEngine:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _decode_one(p):
+    def _mono_row(x):
+        """Channel-mix to mono with _decode_one's exact dtype semantics:
+        int16 stays int16 when already mono; multi-channel mixes in
+        float32."""
+        if x.dtype == np.int16:
+            if x.ndim == 1:
+                return x
+            return (x.astype(np.float32) / 32768.0).mean(axis=1).astype(np.float32)
+        if x.ndim > 1:
+            x = x.mean(axis=1)
+        return x.astype(np.float32)
+
+    @classmethod
+    def _decode_one(cls, p):
         """-> (mono audio, native_sr); int16 for mono 16-bit PCM sources
         (the common case — ships straight to the wire with no float round
         trip), float32 otherwise."""
@@ -390,14 +403,9 @@ class EvalEngine:
         r = decode_audio_i16(p)
         if r is not None:
             x, sr = r
-            if x.ndim == 1:
-                return x, int(sr)
-            x = (x.astype(np.float32) / 32768.0).mean(axis=1)
-            return x.astype(np.float32), int(sr)
+            return cls._mono_row(x), int(sr)
         x, sr = decode_audio(p)
-        if x.ndim > 1:
-            x = x.mean(axis=1)
-        return x.astype(np.float32), int(sr)
+        return cls._mono_row(x), int(sr)
 
     def _pack_batch(self, sr, b, rows):
         chunk = list(rows)
@@ -439,7 +447,20 @@ class EvalEngine:
         """Decode in a thread pool and yield full batches AS FILES COMPLETE,
         so host decode overlaps device dispatch (the reference decodes and
         evaluates strictly serially, one file at a time).  Remainder
-        batches flush once decoding finishes."""
+        batches flush once decoding finishes.
+
+        All-FLAC corpora take the NATIVE batch path when libssrio is
+        built: one C++ call decodes a whole chunk across C++ worker
+        threads — no per-file Python/GIL round trips (disable with
+        SSR_EVAL_TPU_NATIVE_BATCH=0)."""
+        import os as _os
+
+        if _os.environ.get("SSR_EVAL_TPU_NATIVE_BATCH", "1") not in ("0", "false"):
+            native = self._native_stream_batches(paths)
+            if native is not None:
+                yield from native
+                return
+
         from concurrent.futures import as_completed
 
         groups = {}
@@ -457,6 +478,37 @@ class EvalEngine:
         for (sr, b), rows in groups.items():
             if rows:
                 yield self._pack_batch(sr, b, rows)
+
+    def _native_stream_batches(self, paths):
+        """Generator over batches via the native C++ batch decoder, or
+        None when unavailable / not an all-FLAC corpus (caller falls back
+        to the Python thread pool)."""
+        if not paths or not all(p.endswith(".flac") for p in paths):
+            return None
+        try:
+            from ssr_eval_tpu.io import flac_native
+        except Exception:
+            return None
+
+        def gen():
+            chunk_size = max(self.batch_size * 4, 32)
+            groups = {}
+            for start in range(0, len(paths), chunk_size):
+                chunk = paths[start : start + chunk_size]
+                decoded = flac_native.decode_batch(chunk, self.io_workers)
+                for idx, (x, sr) in enumerate(decoded, start=start):
+                    x = self._mono_row(x)
+                    b = bucket_length(len(x))
+                    rows = groups.setdefault((sr, b), [])
+                    rows.append((idx, x))
+                    if len(rows) == self.batch_size:
+                        groups[(sr, b)] = []
+                        yield self._pack_batch(sr, b, rows)
+            for (sr, b), rows in groups.items():
+                if rows:
+                    yield self._pack_batch(sr, b, rows)
+
+        return gen()
 
     def evaluate_files(self, paths):
         """-> {path: {spec_key: {metric: float, ...}}} in spec order."""

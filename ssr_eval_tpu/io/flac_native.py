@@ -45,6 +45,17 @@ _lib.ssrio_decode_flac_i16.argtypes = [
 ]
 _lib.ssrio_free.restype = None
 _lib.ssrio_free.argtypes = [ctypes.c_void_p]
+_lib.ssrio_decode_batch.restype = ctypes.c_int
+_lib.ssrio_decode_batch.argtypes = [
+    ctypes.POINTER(ctypes.c_char_p),
+    ctypes.c_int,
+    ctypes.c_int,
+    ctypes.POINTER(ctypes.c_void_p),
+    ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_int),
+    ctypes.POINTER(ctypes.c_int),
+    ctypes.POINTER(ctypes.c_int),
+]
 
 
 def decode(path: str):
@@ -90,6 +101,44 @@ def decode_i16(path: str):
     if ch.value > 1:
         arr = arr.reshape(-1, ch.value)
     return arr, sr.value
+
+
+def decode_batch(paths, n_threads: int = 0):
+    """Decode many FLAC files in ONE native call with C++ worker threads
+    (no per-file Python/GIL round trips).
+
+    -> list of (array, sample_rate) — int16 for 16-bit streams, float32
+    otherwise, [n] mono or [n, ch]; a failed file raises ValueError
+    naming it.  n_threads=0 uses the hardware concurrency."""
+    n = len(paths)
+    if n == 0:
+        return []
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    outs = (ctypes.c_void_p * n)()
+    lens = (ctypes.c_int64 * n)()
+    chans = (ctypes.c_int * n)()
+    srs = (ctypes.c_int * n)()
+    kinds = (ctypes.c_int * n)()
+    _lib.ssrio_decode_batch(c_paths, n, int(n_threads), outs, lens, chans, srs, kinds)
+    results = []
+    try:
+        for i in range(n):
+            if kinds[i] < 0:
+                raise ValueError(
+                    f"ssrio: FLAC decode failed for {paths[i]} (rc={kinds[i]})"
+                )
+            count = lens[i] * chans[i]
+            ctype = ctypes.c_int16 if kinds[i] == 0 else ctypes.c_float
+            ptr = ctypes.cast(outs[i], ctypes.POINTER(ctype))
+            arr = np.ctypeslib.as_array(ptr, shape=(count,)).copy()
+            if chans[i] > 1:
+                arr = arr.reshape(-1, chans[i])
+            results.append((arr, srs[i]))
+    finally:
+        for i in range(n):
+            if outs[i]:
+                _lib.ssrio_free(outs[i])
+    return results
 
 
 def encode(path: str, data: np.ndarray, sr: int, bps: int = 16):

@@ -107,3 +107,62 @@ def test_audio_entry_prefers_native(native, tmp_path):
     write_flac(p, x, 48000)
     y, sr = decode_audio(p)
     np.testing.assert_allclose(y, _q16(x), atol=1e-6)
+
+
+def test_batch_decode_matches_per_file(native, tmp_path):
+    """ONE ssrio_decode_batch call (C++ worker threads) returns exactly
+    what per-file decode returns, across mixed lengths, channel counts
+    and int16/float paths."""
+    paths = []
+    for i, (n, ch) in enumerate([(5000, 1), (8000, 2), (3000, 1), (12000, 1)]):
+        p = str(tmp_path / f"b{i}.flac")
+        native.encode(p, _sig(n, seed=i, ch=ch), 48000)
+        paths.append(p)
+    batch = native.decode_batch(paths, n_threads=4)
+    assert len(batch) == len(paths)
+    for p, (xb, srb) in zip(paths, batch):
+        x1, sr1 = native.decode_i16(p) or native.decode(p)
+        assert srb == sr1
+        np.testing.assert_array_equal(np.asarray(xb), np.asarray(x1))
+
+
+def test_batch_decode_error_names_file(native, tmp_path):
+    good = str(tmp_path / "good.flac")
+    native.encode(good, _sig(4000), 16000)
+    bad = str(tmp_path / "bad.flac")
+    open(bad, "wb").write(b"not a flac stream")
+    with pytest.raises(ValueError, match="bad.flac"):
+        native.decode_batch([good, bad])
+
+
+def test_engine_native_batch_path_equivalence(native, tmp_path, monkeypatch):
+    """The engine's native all-FLAC batch-decode path produces identical
+    metrics to the Python thread-pool path."""
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.harness.fixtures import speechlike
+    from ssr_eval_tpu.harness.testee import BatchedTestee
+    from ssr_eval_tpu.io.audio import write_flac
+
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"u{i}.flac")
+        write_flac(p, speechlike(0.3, 16000, seed=50 + i)[:, None], 16000)
+        paths.append(p)
+    specs = expand_settings(setting_fft={"cutoff_freq": [4000]}, sr=16000)
+
+    def run():
+        eng = EvalEngine(
+            specs, input_sr=16000, output_sr=16000, evaluation_sr=16000,
+            testee=BatchedTestee(), batch_size=2,
+        )
+        return eng.evaluate_files(paths)
+
+    monkeypatch.setenv("SSR_EVAL_TPU_NATIVE_BATCH", "1")
+    r_native = run()
+    monkeypatch.setenv("SSR_EVAL_TPU_NATIVE_BATCH", "0")
+    r_python = run()
+    for p in paths:
+        for key in r_python[p]:
+            for m, v in r_python[p][key].items():
+                assert r_native[p][key][m] == v, (p, key, m)
