@@ -366,12 +366,13 @@ class EvalEngine:
             # The testee commits its weights to ONE device; a mesh run
             # needs them replicated over every mesh device or jit rejects
             # the mixed device sets (weights replicate, batch shards).
-            skey = ("replicated_state",)
-            if skey not in self._compiled:
-                self._compiled[skey] = jax.device_put(
-                    state, self._replicated_sharding()
-                )
-            state = self._compiled[skey]
+            # Cache keyed by the SOURCE state's identity so a testee that
+            # swaps weights (e.g. load_vocoder_checkpoint) re-replicates.
+            cached = self._compiled.get(("replicated_state",))
+            if cached is None or cached[0] is not state:
+                cached = (state, jax.device_put(state, self._replicated_sharding()))
+                self._compiled[("replicated_state",)] = cached
+            state = cached[1]
         self._record_cost(("fused", family_key(specs[0]), native_sr, lnat),
                           fn, (xj, lj, stacked, state))
         return fn(xj, lj, stacked, state)  # (metrics [S,4,B], ye, ne)
@@ -443,16 +444,33 @@ class EvalEngine:
             for i in range(0, len(rows), self.batch_size):
                 yield self._pack_batch(sr, b, rows[i : i + self.batch_size])
 
-    def _stream_batches(self, paths):
-        """Decode in a thread pool and yield full batches AS FILES COMPLETE,
-        so host decode overlaps device dispatch (the reference decodes and
-        evaluates strictly serially, one file at a time).  Remainder
-        batches flush once decoding finishes.
+    def _accumulate_batches(self, items):
+        """(idx, mono_audio, native_sr) iterable -> packed batches.  The
+        ONE place batch composition is decided: full (sr, bucket) batches
+        flush as soon as they complete, remainders at the end — shared by
+        every decode backend so their batching cannot diverge."""
+        groups = {}
+        for idx, x, sr in items:
+            b = bucket_length(len(x))
+            rows = groups.setdefault((sr, b), [])
+            rows.append((idx, x))
+            if len(rows) == self.batch_size:
+                groups[(sr, b)] = []
+                yield self._pack_batch(sr, b, rows)
+        for (sr, b), rows in groups.items():
+            if rows:
+                yield self._pack_batch(sr, b, rows)
 
-        All-FLAC corpora take the NATIVE batch path when libssrio is
-        built: one C++ call decodes a whole chunk across C++ worker
-        threads — no per-file Python/GIL round trips (disable with
-        SSR_EVAL_TPU_NATIVE_BATCH=0)."""
+    def _stream_batches(self, paths):
+        """Decode and yield full batches AS FILES COMPLETE, so host decode
+        overlaps device dispatch (the reference decodes and evaluates
+        strictly serially, one file at a time).
+
+        All-FLAC corpora (sniffed by magic bytes, like the per-file path)
+        take the NATIVE batch decoder when libssrio is built: one C++
+        call decodes a whole chunk across C++ worker threads — no
+        per-file Python/GIL round trips (SSR_EVAL_TPU_NATIVE_BATCH=0
+        restores the Python thread pool)."""
         import os as _os
 
         if _os.environ.get("SSR_EVAL_TPU_NATIVE_BATCH", "1") not in ("0", "false"):
@@ -463,52 +481,49 @@ class EvalEngine:
 
         from concurrent.futures import as_completed
 
-        groups = {}
-        with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
-            futs = {ex.submit(self._decode_one, p): i for i, p in enumerate(paths)}
-            for fut in as_completed(futs):
-                idx = futs[fut]
-                x, sr = fut.result()
-                b = bucket_length(len(x))
-                rows = groups.setdefault((sr, b), [])
-                rows.append((idx, x))
-                if len(rows) == self.batch_size:
-                    groups[(sr, b)] = []
-                    yield self._pack_batch(sr, b, rows)
-        for (sr, b), rows in groups.items():
-            if rows:
-                yield self._pack_batch(sr, b, rows)
+        def pool_items():
+            with ThreadPoolExecutor(max_workers=self.io_workers) as ex:
+                futs = {
+                    ex.submit(self._decode_one, p): i for i, p in enumerate(paths)
+                }
+                for fut in as_completed(futs):
+                    x, sr = fut.result()
+                    yield futs[fut], x, sr
+
+        yield from self._accumulate_batches(pool_items())
+
+    @staticmethod
+    def _is_flac(p):
+        try:
+            with open(p, "rb") as f:
+                return f.read(4) == b"fLaC"
+        except OSError:
+            return False
 
     def _native_stream_batches(self, paths):
         """Generator over batches via the native C++ batch decoder, or
-        None when unavailable / not an all-FLAC corpus (caller falls back
-        to the Python thread pool)."""
-        if not paths or not all(p.endswith(".flac") for p in paths):
+        None when unavailable or any file is not genuinely FLAC (content
+        sniff, not extension — a misnamed WAV must keep decoding through
+        the per-file magic-dispatching path)."""
+        if not paths or not all(self._is_flac(p) for p in paths):
             return None
         try:
             from ssr_eval_tpu.io import flac_native
+
+            if not flac_native.HAS_BATCH:
+                return None
         except Exception:
             return None
 
-        def gen():
+        def native_items():
             chunk_size = max(self.batch_size * 4, 32)
-            groups = {}
             for start in range(0, len(paths), chunk_size):
-                chunk = paths[start : start + chunk_size]
+                chunk = [str(p) for p in paths[start : start + chunk_size]]
                 decoded = flac_native.decode_batch(chunk, self.io_workers)
                 for idx, (x, sr) in enumerate(decoded, start=start):
-                    x = self._mono_row(x)
-                    b = bucket_length(len(x))
-                    rows = groups.setdefault((sr, b), [])
-                    rows.append((idx, x))
-                    if len(rows) == self.batch_size:
-                        groups[(sr, b)] = []
-                        yield self._pack_batch(sr, b, rows)
-            for (sr, b), rows in groups.items():
-                if rows:
-                    yield self._pack_batch(sr, b, rows)
+                    yield idx, self._mono_row(x), sr
 
-        return gen()
+        return self._accumulate_batches(native_items())
 
     def evaluate_files(self, paths):
         """-> {path: {spec_key: {metric: float, ...}}} in spec order."""
@@ -610,13 +625,7 @@ class EvalEngine:
                         # fetch itself can also serialize the dispatch
                         # pipeline, so it is measured, not assumed (bench.py).
                         if _eager_fetch():
-                            try:
-                                out[0].copy_to_host_async()
-                                if self.save_processed_result or gt_pair is not None:
-                                    out[1].copy_to_host_async()
-                                    out[2].copy_to_host_async()
-                            except Exception:
-                                pass
+                            self._prefetch_outputs(out, gt_pair)
                         pending.append((idxs, gspecs, out, n_real, gt_pair))
                     stage = "compile" if fresh else "dispatch"
                     self.stats.seconds[stage] += _time.perf_counter() - _t
@@ -685,14 +694,8 @@ class EvalEngine:
         # transfer per batch (~35 ms RPC each).
         _t_drain = _time.perf_counter()
         had_pending = bool(pending)
-        for idxs_, _, out_, _, gt_pair_ in pending:
-            try:
-                out_[0].copy_to_host_async()
-                if self.save_processed_result or gt_pair_ is not None:
-                    out_[1].copy_to_host_async()
-                    out_[2].copy_to_host_async()
-            except Exception:
-                pass
+        for _, _, out_, _, gt_pair_ in pending:
+            self._prefetch_outputs(out_, gt_pair_)
         for item in pending:
             self._drain_one(results, paths, item)
 
@@ -735,6 +738,19 @@ class EvalEngine:
         self._record_cost(("score", lout, gt.shape[1]), score, (yj, nyj, gt, n_gt))
         metrics, ye, ne = score(yj, nyj, gt, n_gt)
         self._collate(results, paths, idxs, spec, metrics, ye, ne, n_real, extras)
+
+    def _prefetch_outputs(self, out, gt_pair):
+        """Start the async D2H copies _drain_one will block on: metrics
+        always; est/eval audio only when _drain_one will read it (one
+        definition of that condition, shared by the eager-fetch knob and
+        the drain-time prefetch)."""
+        try:
+            out[0].copy_to_host_async()
+            if self.save_processed_result or gt_pair is not None:
+                out[1].copy_to_host_async()
+                out[2].copy_to_host_async()
+        except Exception:
+            pass  # transfer hints only; the blocking fetch still works
 
     def _drain_one(self, results, paths, item):
         """Host-materialize one dispatched fused batch and collate it."""

@@ -45,17 +45,21 @@ _lib.ssrio_decode_flac_i16.argtypes = [
 ]
 _lib.ssrio_free.restype = None
 _lib.ssrio_free.argtypes = [ctypes.c_void_p]
-_lib.ssrio_decode_batch.restype = ctypes.c_int
-_lib.ssrio_decode_batch.argtypes = [
-    ctypes.POINTER(ctypes.c_char_p),
-    ctypes.c_int,
-    ctypes.c_int,
-    ctypes.POINTER(ctypes.c_void_p),
-    ctypes.POINTER(ctypes.c_int64),
-    ctypes.POINTER(ctypes.c_int),
-    ctypes.POINTER(ctypes.c_int),
-    ctypes.POINTER(ctypes.c_int),
-]
+# Optional symbol: a libssrio.so built before the batch API must not
+# break the per-file fast paths — only decode_batch degrades.
+HAS_BATCH = hasattr(_lib, "ssrio_decode_batch")
+if HAS_BATCH:
+    _lib.ssrio_decode_batch.restype = ctypes.c_int
+    _lib.ssrio_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
 
 
 def decode(path: str):
@@ -110,6 +114,11 @@ def decode_batch(paths, n_threads: int = 0):
     -> list of (array, sample_rate) — int16 for 16-bit streams, float32
     otherwise, [n] mono or [n, ch]; a failed file raises ValueError
     naming it.  n_threads=0 uses the hardware concurrency."""
+    if not HAS_BATCH:
+        raise RuntimeError(
+            "libssrio.so predates ssrio_decode_batch; rebuild with "
+            "`make -C native`"
+        )
     n = len(paths)
     if n == 0:
         return []

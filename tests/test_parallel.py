@@ -262,3 +262,36 @@ def test_mesh_sharded_model_testee_matches_unsharded(tmp_path):
         for key in r_plain[p]:
             for m, v in r_plain[p][key].items():
                 assert abs(r_mesh[p][key][m] - v) < 1e-4, (p, key, m)
+
+
+def test_mesh_replicated_state_follows_weight_updates(tmp_path):
+    """A mesh engine must re-replicate testee weights when they change
+    (e.g. load_vocoder_checkpoint mid-life) instead of reusing the first
+    replication forever."""
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.harness.fixtures import speechlike
+    from ssr_eval_tpu.io.audio import write_wav
+    from ssr_eval_tpu.models.testees import NVSRTestee
+
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, 0.2 * speechlike(0.3, 44100, seed=95 + i), 44100)
+        paths.append(p)
+    specs = expand_settings(setting_fft={"cutoff_freq": [8000]}, sr=44100)
+    nv = NVSRTestee(model_name="dnn")
+    eng = EvalEngine(
+        specs, input_sr=44100, output_sr=44100, evaluation_sr=44100,
+        testee=nv, batch_size=2, mesh=data_mesh(jax.devices()[:2]),
+    )
+    r1 = eng.evaluate_files(paths)
+
+    # swap the weights the way checkpoint loading does (_dev_state reset)
+    nv.variables = jax.tree_util.tree_map(lambda a: a * 0.0, nv.variables)
+    nv._dev_state = None
+    r2 = eng.evaluate_files(paths)
+    k = "proc_fft_8000_44100"
+    assert any(
+        abs(r1[p][k]["lsd"] - r2[p][k]["lsd"]) > 1e-3 for p in paths
+    ), (r1[paths[0]][k], r2[paths[0]][k])
