@@ -33,6 +33,19 @@ class CodecUnavailableError(RuntimeError):
     pass
 
 
+# (sr, kbps) combinations LAME has deterministically rejected this
+# process — cached so repeated utterances of a doomed spec skip straight
+# to the CLI fallback instead of re-paying the failed LAME attempt
+# (ADVICE r3 #2).
+_lame_rejections: set = set()
+
+# Error-message markers of LAME's deterministic (sr, kbps) rejections, as
+# raised by io/mp3_lame.py.  Anything else (allocation failures like
+# lame_init/hip_decode_init) is transient and must surface loudly rather
+# than silently rerouting to a slower codec.
+_REJECTION_MARKERS = ("lame_init_params rejected", "Hz audio for a")
+
+
 def _cli_backend():
     """CLI codec priority chain (shared by detection and LAME fallback)."""
     if shutil.which("sox"):
@@ -93,6 +106,14 @@ def mp3_degrade(file: str, x: np.ndarray, sr: int, kbps: int, cache_path: str | 
             "or ffmpeg); none was found. Install one or drop "
             "setting_mp3_compression."
         )
+    if backend == "lame" and (sr, kbps) in _lame_rejections:
+        # Known-doomed combination: skip the LAME attempt entirely.
+        backend = _cli_backend()
+        if backend is None:
+            raise CodecUnavailableError(
+                f"LAME failed (rejects sr={sr} kbps={kbps}) and no "
+                "sox/ffmpeg CLI is available to fall back to"
+            )
     if backend == "lame":
         try:
             from ssr_eval_tpu.io.mp3_lame import decode_mp3, encode_mp3
@@ -108,8 +129,12 @@ def mp3_degrade(file: str, x: np.ndarray, sr: int, kbps: int, cache_path: str | 
         except RuntimeError as lame_err:
             # LAME rejects non-MPEG rate / bitrate combinations that the
             # CLI codecs handle by resampling internally — retry there
-            # before giving up (detect_backend picks LAME on availability
-            # alone).
+            # (and cache the per-(sr, kbps) verdict so later utterances
+            # skip the doomed attempt).  Transient LAME failures are NOT
+            # rejections and re-raise loudly (ADVICE r3 #2).
+            if not any(m in str(lame_err) for m in _REJECTION_MARKERS):
+                raise
+            _lame_rejections.add((sr, kbps))
             backend = _cli_backend()
             if backend is None:
                 raise CodecUnavailableError(

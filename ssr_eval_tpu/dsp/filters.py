@@ -315,10 +315,28 @@ def blocked_plan_arrays(plan: FiltFiltPlan, block: int, truncate: bool = False):
     it — the tail mass beyond the probe-derived length is below
     ``_TRUNC_TOL`` for any stable design, so cutting keeps the error bound
     (degrade/apply.spec_params relies on this so spec_params never fails at
-    sweep-build time)."""
+    sweep-build time).  The tail-mass assumption is VERIFIED here, not
+    assumed (ADVICE r3 #1): if the actually-discarded mass exceeds the
+    tolerance, a loud warning reports the true error bound."""
     if plan.m > block and not truncate:
         raise ValueError(f"truncated response {plan.m} exceeds block {block}")
     m = min(plan.m, block)
+    if m < plan.m:
+        tail_h = float(np.sum(np.abs(plan.h[m:].astype(np.float64))))
+        tail_r = float(np.sum(np.abs(plan.r[m:].astype(np.float64))))
+        if max(tail_h, tail_r) >= _TRUNC_TOL:
+            import warnings
+
+            warnings.warn(
+                f"blocked filtfilt truncation at block={block} discards "
+                f"tail mass sum|h[{m}:]|={tail_h:.3e}, "
+                f"sum|r[{m}:]|={tail_r:.3e} >= {_TRUNC_TOL:.0e}; the "
+                "relative output error is bounded by that mass (slowly-"
+                "decaying high-order low-cutoff IIR on a long bucket) — "
+                "use the monolithic sosfiltfilt path for this spec",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     h = np.zeros(2 * block, dtype=np.float64)
     h[:m] = plan.h[:m].astype(np.float64)
     H = np.fft.rfft(h)

@@ -51,19 +51,26 @@ from ssr_eval_tpu.utils.profiling import StageTimers, device_trace
 METRIC_KEYS = ("lsd", "log_sispec", "sispec", "ssim")
 
 
-def _eager_fetch() -> bool:
+def _env_flag(name: str, default: str) -> bool:
+    """Uniform env-flag semantics: "0"/"false"/"" all mean disabled."""
     import os
 
-    return os.environ.get("SSR_EVAL_TPU_EAGER_FETCH", "0") not in ("0", "false", "")
+    return os.environ.get(name, default) not in ("0", "false", "")
+
+
+def _eager_fetch() -> bool:
+    return _env_flag("SSR_EVAL_TPU_EAGER_FETCH", "0")
 
 
 def _max_pending() -> int:
-    """Max in-flight batches whose device results (metrics + est/gt
-    buffers) stay queued before the oldest is drained.  Bounds HBM held
-    by async outputs on production-scale sweeps (each pending fused batch
-    pins its [S, B, L] est/eval buffers, ~130 MB at the bench shapes)
-    while leaving bench-sized runs fully overlapped.  Override via
-    SSR_EVAL_TPU_MAX_PENDING."""
+    """Max in-flight batches whose device results stay queued before the
+    oldest is drained.  Bounds HBM held by async outputs on
+    production-scale sweeps while leaving bench-sized runs fully
+    overlapped.  Since r4 a pending fused batch in the throughput config
+    pins only its [S, 4, B] metric block (float32 KBs) — the est/eval
+    audio buffers (~120 MB per batch at bench shapes) exist only when
+    save_processed_result or the host_float64 backend actually reads
+    them.  Override via SSR_EVAL_TPU_MAX_PENDING."""
     import os
 
     return max(1, int(os.environ.get("SSR_EVAL_TPU_MAX_PENDING", "24")))
@@ -134,6 +141,15 @@ class EvalEngine:
         self._cost_calls = {}
         self.device_testee = bool(getattr(testee, "jittable", False)) and hasattr(
             testee, "infer_batch"
+        )
+        # Whether the host ever reads the fused program's est/eval
+        # waveforms.  When False (the throughput configuration) the fused
+        # program's outputs are just the [S, 4, B] metric block — the
+        # [S, B, Leval] audio buffers are never materialized, saving their
+        # HBM writes + the held memory per pending batch (VERDICT r3 #1:
+        # ~120 MB and ~2/3 of the cost-model traffic at bench shapes).
+        self.want_fused_audio = bool(save_processed_result) or (
+            self.metrics_backend == "host_float64"
         )
 
     def _record_cost(self, key, fn, args):
@@ -330,6 +346,8 @@ class EvalEngine:
                 leval = int(out_plan.out_length(lout))
                 Wo = jnp.asarray(out_plan.Wd)
 
+                want_audio = self.want_fused_audio  # trace-time static
+
                 def score_spec(args):
                     y, ny = args
 
@@ -341,12 +359,35 @@ class EvalEngine:
                     m, ye, ne = jax.vmap(score)(y, ny, tgt_sp, min_len)
                     # one [4, B] array per spec -> a single host transfer
                     # per batch instead of one RPC per metric key
-                    return jnp.stack([m[k] for k in METRIC_KEYS]), ye, ne
+                    mstack = jnp.stack([m[k] for k in METRIC_KEYS])
+                    if not want_audio:
+                        # Nobody reads the est/eval waveforms: drop them at
+                        # trace time so XLA never materializes the [S, B,
+                        # Leval] blocks (DCE removes their HBM writes).
+                        return mstack
+                    return mstack, ye, ne
 
                 return jax.lax.map(score_spec, (y_all, ny_all))
 
             self._compiled[key] = jax.jit(pipeline)
         return self._compiled[key]
+
+    def _state_for_call(self):
+        """Testee device state, mesh-replicated when a mesh is set.
+
+        The testee commits its weights to ONE device; a mesh run needs
+        them replicated over every mesh device or jit rejects the mixed
+        device sets (weights replicate, batch shards).  Cache keyed by
+        the SOURCE state's identity so a testee that swaps weights (e.g.
+        load_vocoder_checkpoint) re-replicates."""
+        state = self.testee.device_state()
+        if self.mesh is not None and state is not None:
+            cached = self._compiled.get(("replicated_state",))
+            if cached is None or cached[0] is not state:
+                cached = (state, jax.device_put(state, self._replicated_sharding()))
+                self._compiled[("replicated_state",)] = cached
+            state = cached[1]
+        return state
 
     def _fused_call(self, specs, native_sr, lnat, xj, lj):
         """Run all `specs` (one family) in a single stacked device call."""
@@ -361,21 +402,13 @@ class EvalEngine:
             self._compiled[pkey] = stacked
         stacked = self._compiled[pkey]
         # model weights ride through jit as an ARGUMENT (never constants)
-        state = self.testee.device_state()
-        if self.mesh is not None and state is not None:
-            # The testee commits its weights to ONE device; a mesh run
-            # needs them replicated over every mesh device or jit rejects
-            # the mixed device sets (weights replicate, batch shards).
-            # Cache keyed by the SOURCE state's identity so a testee that
-            # swaps weights (e.g. load_vocoder_checkpoint) re-replicates.
-            cached = self._compiled.get(("replicated_state",))
-            if cached is None or cached[0] is not state:
-                cached = (state, jax.device_put(state, self._replicated_sharding()))
-                self._compiled[("replicated_state",)] = cached
-            state = cached[1]
+        state = self._state_for_call()
         self._record_cost(("fused", family_key(specs[0]), native_sr, lnat),
                           fn, (xj, lj, stacked, state))
-        return fn(xj, lj, stacked, state)  # (metrics [S,4,B], ye, ne)
+        out = fn(xj, lj, stacked, state)
+        if not self.want_fused_audio:
+            return (out, None, None)  # metrics [S,4,B] only
+        return out  # (metrics [S,4,B], ye, ne)
 
     # ------------------------------------------------------------------
     # Host-side orchestration
@@ -471,9 +504,7 @@ class EvalEngine:
         call decodes a whole chunk across C++ worker threads — no
         per-file Python/GIL round trips (SSR_EVAL_TPU_NATIVE_BATCH=0
         restores the Python thread pool)."""
-        import os as _os
-
-        if _os.environ.get("SSR_EVAL_TPU_NATIVE_BATCH", "1") not in ("0", "false"):
+        if _env_flag("SSR_EVAL_TPU_NATIVE_BATCH", "1"):
             native = self._native_stream_batches(paths)
             if native is not None:
                 yield from native
@@ -746,7 +777,9 @@ class EvalEngine:
         the drain-time prefetch)."""
         try:
             out[0].copy_to_host_async()
-            if self.save_processed_result or gt_pair is not None:
+            if out[1] is not None and (
+                self.save_processed_result or gt_pair is not None
+            ):
                 out[1].copy_to_host_async()
                 out[2].copy_to_host_async()
         except Exception:
@@ -756,7 +789,9 @@ class EvalEngine:
         """Host-materialize one dispatched fused batch and collate it."""
         idxs, gspecs, (metrics, ye, ne), n_real, gt_pair = item
         marr = np.asarray(metrics)  # [S, 4, B]
-        want_audio = self.save_processed_result or gt_pair is not None
+        want_audio = ye is not None and (
+            self.save_processed_result or gt_pair is not None
+        )
         ye_h = np.asarray(ye) if want_audio else None
         ne_h = np.asarray(ne) if want_audio else None
         gt_h = ng_h = None
@@ -806,9 +841,72 @@ class EvalEngine:
             d_h[j, : len(d)] = d
         for j in range(n_real, x_shape[0]):
             d_h[j] = d_h[0]
+        if self.device_testee and self.metrics_backend != "host_float64":
+            self._mp3_device_score(
+                results, paths, idxs, spec, d_h, n_in_h, gt, n_gt, n_real
+            )
+            return
         self._host_infer_and_score(
             results, paths, idxs, spec, d_h, n_in_h, gt, n_gt, n_real
         )
+
+    def _mp3_device_score(
+        self, results, paths, idxs, spec, d_h, n_in_h, gt, n_gt, n_real
+    ):
+        """Device testee + mp3 spec: ONE fused infer_batch -> resample ->
+        metrics device call for the whole codec-degraded batch, replacing
+        the per-utterance host bridge (VERDICT r3 #5 — B separate ~35 ms
+        RPC dispatches per spec on the tunnel, for a path whose batched
+        equivalent the fused sweep already uses)."""
+        lin = int(d_h.shape[1])
+        lgt = int(gt.shape[1])
+        key = ("mp3_score", lin, lgt)
+        if key not in self._compiled:
+            cfg = metric_stft_config(self.evaluation_sr)
+            infer_batch = self.testee.infer_batch
+            want_audio = self.save_processed_result
+
+            def pipeline(d, nd, g, ng, state):
+                y, ny = infer_batch(d, nd, state)
+                lout = y.shape[1]  # static at trace time
+                out_plan = resample_poly_plan(
+                    self.output_sr, self.evaluation_sr, lout
+                )
+                leval = int(out_plan.out_length(lout))
+                Wo = jnp.asarray(out_plan.Wd)
+                mf = cfg.max_frames(min(leval, lgt))
+
+                def one(yy, nyy, gg, ngg):
+                    ye, ne = apply_resample(yy, nyy, out_plan, leval, Wo)
+                    m = spectral_metrics(ye, ne, gg, ngg, cfg, mf)
+                    return m, ye, ne
+
+                m, ye, ne = jax.vmap(one)(y, ny, g, ng)
+                mstack = jnp.stack([m[k] for k in METRIC_KEYS])
+                if not want_audio:
+                    return mstack
+                return mstack, ye, ne
+
+            self._compiled[key] = jax.jit(pipeline)
+        fn = self._compiled[key]
+        state = self._state_for_call()
+        nj = np.asarray(n_in_h, np.int32)
+        if self.mesh is not None:
+            sh = batch_sharding(self.mesh)
+            dj = jax.device_put(d_h, sh)
+            nj = jax.device_put(nj, sh)
+        else:
+            dj = jnp.asarray(d_h)
+            nj = jnp.asarray(nj)
+        self._record_cost(key, fn, (dj, nj, gt, n_gt, state))
+        out = fn(dj, nj, gt, n_gt, state)
+        if self.save_processed_result:
+            mstack, ye, ne = out
+        else:
+            mstack, ye, ne = out, None, None
+        marr = np.asarray(mstack)  # [4, B]
+        m = {k: marr[ki] for ki, k in enumerate(METRIC_KEYS)}
+        self._collate(results, paths, idxs, spec, m, ye, ne, n_real)
 
     def _host64_metrics(self, ye_h, ne_h, gt_h, ng_h, n_real):
         """Exact-precision metric recomputation on host (PARITY.md

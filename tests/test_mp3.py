@@ -144,6 +144,14 @@ def test_lame_reject_falls_back_or_errors_cleanly(monkeypatch):
 
     monkeypatch.setattr(codec.shutil, "which", fake_which)
     monkeypatch.setattr(codec, "_encode_decode_mp3", fake_encode_decode)
+    # The first (failed) attempt cached the per-(sr, kbps) rejection, so
+    # the retry must NOT re-pay the doomed LAME attempt (ADVICE r3 #2).
+    assert (13000, 32) in codec._lame_rejections
+
+    def boom(*a, **k):
+        raise AssertionError("LAME re-attempted a cached rejection")
+
+    monkeypatch.setattr(mp3_lame, "encode_mp3", boom)
     out = codec.mp3_degrade("utt.flac", x, 13000, 32)
     assert calls == ["sox"]
     assert out.shape == x.shape
