@@ -18,15 +18,13 @@ import os
 
 import pytest
 
-VCTK_ROOT = os.environ.get("SSR_EVAL_VCTK_ROOT")
+from ssr_eval_tpu.harness.golden import (
+    GOLDEN_2022 as GOLDEN_AVERAGED,
+    GOLDEN_2022_SPEAKERS,
+    GOLDEN_2022_TOL as TOL,
+)
 
-GOLDEN_AVERAGED = {  # "averaged"."proc_fft_24000_44100" in the artifact
-    "lsd": 5.152331300436993,
-    "log_sispec": 5.8051057146229095,
-    "sispec": 30.23394207533686,
-    "ssim": 0.8484425044157442,
-}
-TOL = {"lsd": 1e-3, "log_sispec": 1e-3, "sispec": 1e-2, "ssim": 1e-3}
+VCTK_ROOT = os.environ.get("SSR_EVAL_VCTK_ROOT")
 
 
 @pytest.mark.skipif(

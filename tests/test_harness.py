@@ -511,3 +511,36 @@ def test_per_family_sweep_methods(vctk_root):
         assert list(out) == [key]
         assert out[key].shape == x.shape
         assert float(np.abs(out[key] - x).sum()) > 0.0
+
+
+def test_shift_zero_divergence_pinned(vctk_root, tmp_path):
+    """PARITY.md deviation 6: helper.shift preserves the reference's
+    shift==0 bug (`ret[:-0] = x[0:]` assigns N elements into an empty
+    slice -> ValueError, eval.py:274-276) while the engine's internal
+    aligner (dsp/correlate.align_by_correlation) handles lag 0 as the
+    identity."""
+    import jax.numpy as jnp
+
+    from ssr_eval_tpu.dsp.correlate import align_by_correlation
+
+    h = ssr_eval_tpu.SSR_Eval_Helper(
+        BasicTestee(), 44100, 44100, 44100,
+        test_data_root=vctk_root, auto_download=False,
+    )
+    x = np.arange(1.0, 9.0, dtype=np.float32)
+
+    # Parity shim: shift==0 crashes exactly like the reference.
+    with pytest.raises(ValueError, match="broadcast"):
+        h.shift(x, 0)
+    # Nonzero lags behave normally on the same surface.
+    np.testing.assert_array_equal(h.shift(x, 2)[:-2], x[2:])
+
+    # Engine aligner: a zero-lag pair is NOT wiped to zeros.  (The
+    # preserved argmax-off-by-one — PARITY "mp3 alignment off-by-one" —
+    # resolves identical signals to shift -1, i.e. a 1-sample delay.)
+    rng = np.random.default_rng(0)
+    sig = rng.standard_normal(4096).astype(np.float32)
+    aligned = np.asarray(align_by_correlation(jnp.asarray(sig), jnp.asarray(sig)))
+    assert float(np.abs(aligned).sum()) > 0.0
+    np.testing.assert_allclose(aligned[1:], sig[:-1], atol=1e-6)
+    assert aligned[0] == 0.0

@@ -264,7 +264,10 @@ def test_testee_vocoder_self_adaptation(tmp_path):
 
     nv = NVSRTestee(model_name="dnn")  # small generator; default vocoder cfg
     assert nv.model.vocoder_cfg is None
-    unmatched = nv.load_vocoder_checkpoint(str(path))
+    # check=False: a random-weight mirror synthesizes unconditioned audio
+    # and must not trip the trained-quality sanity check (see
+    # test_vocoder_sanity_check_trips_on_random_weights for the trip side).
+    unmatched = nv.load_vocoder_checkpoint(str(path), check=False)
     assert unmatched == []
     assert nv.model.vocoder_cfg == cfg  # module rebuilt from inference
 
@@ -274,3 +277,59 @@ def test_testee_vocoder_self_adaptation(tmp_path):
     y, ny = nv.infer_batch(x, jnp2.asarray([22050], dtype=jnp2.int32))
     assert y.shape[0] == 1 and int(ny[0]) == 22050
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_vocoder_sanity_check_trips_on_random_weights(tmp_path):
+    """VERDICT r3 #3: a checkpoint whose shape-invisible constants are
+    wrong would load with zero unmatched tensors and synthesize audio
+    unrelated to its conditioning.  load_vocoder_checkpoint(check=True)
+    must trip VocoderSanityError on exactly that signature — modeled here
+    by a random-weight mirror (whose synthesis is unconditioned garbage,
+    the same observable as a wrong-dilation/wrong-norm trained ckpt)."""
+    from ssr_eval_tpu.models.testees import NVSRTestee
+    from ssr_eval_tpu.models.vocoder_check import VocoderSanityError
+
+    cfg = TFGANConfig(
+        n_mels=128, channels=32, ratios=(7, 7, 3, 3),
+        res_dilations=(1, 3), stage_channels=(24, 16, 8, 8),
+    )
+    torch.manual_seed(7)
+    tg = TorchGenerator(cfg)
+    path = tmp_path / "voc_bad.pth"
+    torch.save(tg.state_dict(), str(path))
+
+    nv = NVSRTestee(model_name="dnn")
+    with pytest.raises(VocoderSanityError, match="conditioning"):
+        nv.load_vocoder_checkpoint(str(path))
+
+
+def test_vocoder_sanity_metric_positive_control():
+    """The checker's correlation metric itself: audio whose mel IS the
+    conditioning scores ~1 (so a faithful trained vocoder passes), and a
+    silent signal scores 0 (not NaN)."""
+    import jax.numpy as jnp2
+
+    from ssr_eval_tpu.models.testees import NVSRTestee
+    from ssr_eval_tpu.models.vocoder_check import (
+        log_mel_correlation,
+        probe_signal,
+    )
+
+    nv = NVSRTestee(model_name="dnn")
+    model, variables = nv.model, nv.variables
+    x = probe_signal(model.sample_rate)
+
+    from ssr_eval_tpu.models.nvsr import NVSR, NVSR_STFT, to_log
+
+    L = len(x)
+    _, mel = model.apply(
+        variables, jnp2.asarray(x), L, NVSR_STFT.max_frames(L),
+        method=NVSR.pre,
+    )
+    cond = np.asarray(to_log(mel))
+    assert log_mel_correlation(model, variables, cond, x) > 0.999
+    # Silence: the eps-floored mel of zeros still varies by filterbank
+    # band, so the correlation is some finite sub-threshold value (the
+    # rms guard in check_vocoder is what actually catches silent output).
+    c0 = log_mel_correlation(model, variables, cond, np.zeros_like(x))
+    assert np.isfinite(c0) and c0 < 0.5
