@@ -65,16 +65,20 @@ class Generator(nn.Module):
     model_name: str = "unet"
     n_mels: int = 128
     dtype: object = None  # computation dtype; params stay float32
+    fold_bn: bool = False  # inference-only folded form (models/fold_bn.py)
 
     @nn.compact
     def __call__(self, mel_orig, train: bool = False):
         # mel_orig: [B, T, M] linear-scale mel
+        if self.fold_bn and train:
+            raise ValueError("fold_bn is an inference-only transform")
         log_mel = to_log(mel_orig)
         if self.model_name in ("unet", "unet_small"):
             # unet_small's blocks are structurally identical in the
             # reference (components/unet_small.py is a class-rename of
             # unet.py); both use the 4-block residual groups.
-            out = UNetRes(channels=1, dtype=self.dtype, name="analysis_module")(
+            out = UNetRes(channels=1, dtype=self.dtype, fold_bn=self.fold_bn,
+                          name="analysis_module")(
                 log_mel[..., None], train
             )["mel"][..., 0]
         elif self.model_name == "bigru":
@@ -94,9 +98,14 @@ class Generator(nn.Module):
             for i, width in enumerate((m * 2, m * 4, m * 4)):
                 h = nn.Dense(width, name=f"dense_{i}")(h)
                 h = nn.relu(h)
-                h = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.99, name=f"bn_{i}"
-                )(h[..., None])[..., 0]
+                # bn_i sits directly before dense_{i+1} (relu is BEFORE
+                # it), so with fold_bn its scalar affine lives inside the
+                # next Dense's kernel/bias (models/fold_bn.py).
+                if not self.fold_bn:
+                    h = nn.BatchNorm(
+                        use_running_average=not train, momentum=0.99,
+                        name=f"bn_{i}"
+                    )(h[..., None])[..., 0]
             h = nn.Dense(m * 2, name="dense_3")(h)
             h = nn.relu(h)
             out = nn.Dense(m, name="dense_4")(h)
@@ -119,9 +128,18 @@ class NVSR(nn.Module):
     # (e.g. via convert.infer_vocoder_config) when grafting a checkpoint
     # whose shapes differ from the reconstruction.
     vocoder_cfg: TFGANConfig | None = None
+    # Inference-only BN-folded generator (models/fold_bn.py transforms an
+    # unfolded variables tree into this module's shape).
+    fold_bn: bool = False
 
     def setup(self):
-        self.generator = Generator(self.model_name, self.n_mels, dtype=self.dtype)
+        if self.fold_bn and self.model_name == "bigru":
+            raise ValueError(
+                "fold_bn supports the unet/unet_small/dnn generators "
+                "(bigru's BNs feed recurrent cells; fold unimplemented)"
+            )
+        self.generator = Generator(self.model_name, self.n_mels,
+                                   dtype=self.dtype, fold_bn=self.fold_bn)
         if self.vocoder_name == "tfgan":
             cfg = self.vocoder_cfg or TFGANConfig(n_mels=self.n_mels)
             self.vocoder = Vocoder(cfg, dtype=self.dtype)

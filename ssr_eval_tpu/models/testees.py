@@ -83,13 +83,15 @@ class NVSRTestee(BatchedTestee):
     jittable = True
 
     def __init__(self, model_name="unet", params=None, seed=234, ckpt=None,
-                 dtype=None, param_dtype=None):
+                 dtype=None, param_dtype=None, fold_bn=False):
         """dtype: model computation dtype, e.g. jnp.bfloat16 for ~2x conv
         throughput at inference (the eval DSP stays float32).
         param_dtype: storage dtype for the WEIGHTS as uploaded to the
         device (batch-norm statistics stay float32 for eval-mode
         numerics).  jnp.bfloat16 halves weight HBM traffic and removes
-        the per-call f32->bf16 weight casts when dtype is bfloat16."""
+        the per-call f32->bf16 weight casts when dtype is bfloat16.
+        fold_bn: fold eval-mode BatchNorms into adjacent conv/dense
+        weights where exact (models/fold_bn.py) — inference only."""
         super().__init__()
         self.model = NVSR(model_name=model_name, dtype=dtype)
         self.param_dtype = param_dtype
@@ -98,6 +100,10 @@ class NVSRTestee(BatchedTestee):
         if params is None:
             params = self._random_init(seed)
         self.variables = params
+        if fold_bn:
+            from ssr_eval_tpu.models.fold_bn import fold_nvsr_bn
+
+            self.model, self.variables = fold_nvsr_bn(self.model, self.variables)
 
     def _random_init(self, seed):
         # Init on the CPU backend: tracing init_all through the tunnel's
@@ -133,12 +139,24 @@ class NVSRTestee(BatchedTestee):
 
     def load_checkpoint(self, path):
         """Convert a torch NVSR state dict (the reference's Zenodo ckpt,
-        main.py:50-79) into Flax variables via models/convert.py."""
+        main.py:50-79) into Flax variables via models/convert.py.
+        Checkpoints are always UNFOLDED; a fold_bn testee re-folds the
+        fresh tree when this is called after construction."""
         from ssr_eval_tpu.models.convert import torch_nvsr_to_flax
 
-        return torch_nvsr_to_flax(path, self.model)
+        variables = torch_nvsr_to_flax(path, self.model)
+        if getattr(self.model, "fold_bn", False):
+            from ssr_eval_tpu.models.fold_bn import fold_nvsr_bn
 
-    def load_vocoder_checkpoint(self, path, cfg=None):
+            _, variables = fold_nvsr_bn(
+                self.model.clone(fold_bn=False), variables
+            )
+            self.variables = variables
+            self._dev_state = None
+        return variables
+
+    def load_vocoder_checkpoint(self, path, cfg=None, check=True,
+                                check_threshold=0.5):
         """Graft a voicefixer-structure vocoder state dict (torch) into
         the model's vocoder subtree (convert.vocoder_state_dict_to_flax).
 
@@ -147,6 +165,15 @@ class NVSRTestee(BatchedTestee):
         (convert.infer_vocoder_config), and the model's vocoder module is
         rebuilt to match when they differ from the current config — the
         real voicefixer checkpoint self-adapts with zero manual config.
+
+        check=True (default) runs the load-time sanity check
+        (models/vocoder_check.py): synthesize from a probe mel and require
+        the output's own mel to correlate with the conditioning, so a
+        TRAINED checkpoint whose shape-invisible constants (dilations,
+        mel-norm min_db/max_abs/ref_db) differ from the reconstruction
+        fails loudly (VocoderSanityError) instead of silently degrading
+        quality.  Random-weight mirrors (conversion tests) must pass
+        check=False — unconditioned synthesis fails by construction.
         Returns the list of unmatched tensor names (empty on full match)."""
         import torch
 
@@ -178,6 +205,11 @@ class NVSRTestee(BatchedTestee):
         v["params"] = p
         self.variables = v
         self._dev_state = None  # re-upload on next device_state()
+        if check:
+            from ssr_eval_tpu.models.vocoder_check import check_vocoder
+
+            check_vocoder(self.model, self.variables,
+                          threshold=check_threshold)
         return unmatched
 
     # -- the fused device path ------------------------------------------

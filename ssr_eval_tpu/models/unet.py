@@ -33,10 +33,17 @@ class ConvBlockRes(nn.Module):
     with a biased 1x1 shortcut when channel counts differ.
 
     `dtype` is the computation dtype (params stay float32): bfloat16
-    roughly doubles conv throughput on the MXU for inference."""
+    roughly doubles conv throughput on the MXU for inference.
+
+    `fold_bn=True` is the inference-only folded form: bn2 — the one BN
+    adjacent to a conv with no nonlinearity between (conv1 -> bn2) — is
+    folded into conv1's weights+bias at parameter-transform time
+    (models/fold_bn.py), so the module runs one fewer elementwise pass
+    per block.  bn1 cannot fold (leaky_relu sits between it and conv1)."""
 
     out_ch: int
     dtype: object = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -44,9 +51,14 @@ class ConvBlockRes(nn.Module):
         h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          dtype=self.dtype, name="bn1")(x)
         h = nn.leaky_relu(h, negative_slope=0.01)
-        h = nn.Conv(self.out_ch, (3, 3), use_bias=False, dtype=self.dtype, name="conv1")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         dtype=self.dtype, name="bn2")(h)
+        if self.fold_bn:
+            h = nn.Conv(self.out_ch, (3, 3), use_bias=True, dtype=self.dtype,
+                        name="conv1")(h)
+        else:
+            h = nn.Conv(self.out_ch, (3, 3), use_bias=False, dtype=self.dtype,
+                        name="conv1")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             dtype=self.dtype, name="bn2")(h)
         h = nn.leaky_relu(h, negative_slope=0.01)
         h = nn.Conv(self.out_ch, (3, 3), use_bias=False, dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_ch:
@@ -58,11 +70,13 @@ class EncoderGroup(nn.Module):
     out_ch: int
     blocks: int = 4
     dtype: object = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         for i in range(self.blocks):
-            x = ConvBlockRes(self.out_ch, dtype=self.dtype, name=f"conv_block{i + 1}")(x, train)
+            x = ConvBlockRes(self.out_ch, dtype=self.dtype, fold_bn=self.fold_bn,
+                             name=f"conv_block{i + 1}")(x, train)
         pooled = nn.avg_pool(x, (2, 2), strides=(2, 2))
         return pooled, x
 
@@ -74,6 +88,7 @@ class DecoderGroup(nn.Module):
     out_ch: int
     blocks: int = 4
     dtype: object = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, skip, train: bool):
@@ -87,7 +102,8 @@ class DecoderGroup(nn.Module):
         h = h[:, :-1, :, :]  # prune: (T-1)*2+3 -> 2T (time); freq 2F+1 matches skip
         h = jnp.concatenate([h, skip], axis=-1)
         for i in range(self.blocks):
-            h = ConvBlockRes(self.out_ch, dtype=self.dtype, name=f"conv_block{i + 2}")(h, train)
+            h = ConvBlockRes(self.out_ch, dtype=self.dtype, fold_bn=self.fold_bn,
+                             name=f"conv_block{i + 2}")(h, train)
         return h
 
 
@@ -104,6 +120,7 @@ class UNetRes(nn.Module):
     blocks_per_group: int = 4
     remat: bool = False
     dtype: object = None  # computation dtype (e.g. jnp.bfloat16); params f32
+    fold_bn: bool = False  # inference-only folded form (models/fold_bn.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -123,14 +140,18 @@ class UNetRes(nn.Module):
         h = x
         for i, w in enumerate(self.widths):
             h, skip = Enc(w, self.blocks_per_group, dtype=self.dtype,
+                          fold_bn=self.fold_bn,
                           name=f"encoder_block{i + 1}")(h, train)
             skips.append(skip)
-        h = ConvBlockRes(self.widths[-1], dtype=self.dtype, name="conv_block7")(h, train)
+        h = ConvBlockRes(self.widths[-1], dtype=self.dtype, fold_bn=self.fold_bn,
+                         name="conv_block7")(h, train)
         dec_widths = list(self.widths[::-1])  # 384,384,256,128,64,32
         for i, w in enumerate(dec_widths):
             h = Dec(w, self.blocks_per_group, dtype=self.dtype,
+                    fold_bn=self.fold_bn,
                     name=f"decoder_block{i + 1}")(h, skips[-(i + 1)], train)
-        h = ConvBlockRes(self.widths[0], dtype=self.dtype, name="after_conv_block1")(h, train)
+        h = ConvBlockRes(self.widths[0], dtype=self.dtype, fold_bn=self.fold_bn,
+                         name="after_conv_block1")(h, train)
         h = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="after_conv2")(h)
         h = h.astype(jnp.float32)
 

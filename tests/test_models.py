@@ -215,3 +215,130 @@ def test_postproc_testees_through_engine(tmp_path):
         for p in paths:
             m = r[p]["proc_fft_8000_44100"]
             assert all(np.isfinite(v) for v in m.values()), (cls.__name__, m)
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm folding (models/fold_bn.py, VERDICT r3 #2)
+
+
+def _perturb_bn(variables, seed=3):
+    """Give every BN non-trivial scale/bias/mean/var so folding is a real
+    transform, not a near-identity."""
+    rng = np.random.default_rng(seed)
+
+    def walk_params(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if k.startswith("bn") and "scale" in v:
+                    out[k] = {
+                        "scale": jnp.asarray(
+                            rng.uniform(0.5, 2.0, np.shape(v["scale"])), jnp.float32
+                        ),
+                        "bias": jnp.asarray(
+                            rng.normal(0, 0.3, np.shape(v["bias"])), jnp.float32
+                        ),
+                    }
+                else:
+                    out[k] = walk_params(v)
+            else:
+                out[k] = v
+        return out
+
+    def walk_stats(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "mean" in v and "var" in v:
+                    out[k] = {
+                        "mean": jnp.asarray(
+                            rng.normal(0, 0.5, np.shape(v["mean"])), jnp.float32
+                        ),
+                        "var": jnp.asarray(
+                            rng.uniform(0.3, 3.0, np.shape(v["var"])), jnp.float32
+                        ),
+                    }
+                else:
+                    out[k] = walk_stats(v)
+            else:
+                out[k] = v
+        return out
+
+    out = dict(variables)
+    out["params"] = walk_params(variables["params"])
+    if "batch_stats" in variables:
+        out["batch_stats"] = walk_stats(variables["batch_stats"])
+    return out
+
+
+@pytest.mark.parametrize("name", ["unet", "dnn"])
+def test_fold_bn_exact(name):
+    """Folded model + folded variables == unfolded eval-mode forward, on
+    non-trivial BN statistics (the fold is a reassociation, not an
+    approximation)."""
+    from ssr_eval_tpu.models.fold_bn import fold_nvsr_bn
+
+    widths = (8, 16)
+    if name == "unet":
+        model = NVSR(model_name="dnn")  # placeholder; built below
+        # small-width UNet via the Generator's module tree is awkward —
+        # test UNetRes directly through NVSR is heavy, so use UNetRes.
+        rng = jax.random.PRNGKey(0)
+        net = UNetRes(channels=1, widths=widths, blocks_per_group=2)
+        # freq 16 -> 15 after the drop; 15 -> 7 -> 3 halves to odd sizes,
+        # matching the decoder's 2F+1 transposed-conv output per level.
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(0, 1, (2, 6, 16, 1)).astype(np.float32)
+        )
+        variables = _perturb_bn(net.init(rng, x, False))
+        ref = net.apply(variables, x, False)["mel"]
+
+        from ssr_eval_tpu.models.fold_bn import _fold_convblocks
+
+        fp, fs = _fold_convblocks(
+            variables["params"], variables.get("batch_stats", {})
+        )
+        folded = UNetRes(
+            channels=1, widths=widths, blocks_per_group=2, fold_bn=True
+        ).apply({"params": fp, "batch_stats": fs}, x, False)["mel"]
+        np.testing.assert_allclose(
+            np.asarray(folded), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+        return
+
+    # dnn: full NVSR tree through fold_nvsr_bn
+    model = NVSR(model_name="dnn")
+    rng = jax.random.PRNGKey(1)
+    mel = jnp.abs(jax.random.normal(rng, (1, 32, 128))) + 1e-3
+    variables = _perturb_bn(model.init(rng, mel, train=False, method=NVSR.init_all))
+    ref = model.apply(variables, mel, train=False)["mel"]
+    fmodel, fvars = fold_nvsr_bn(model, variables)
+    assert fmodel.fold_bn
+    got = fmodel.apply(fvars, mel, train=False)["mel"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # folded tree has no generator bn_* params left
+    assert not any(k.startswith("bn_") for k in fvars["params"]["generator"])
+
+
+def test_fold_bn_testee_wiring():
+    """NVSRTestee(fold_bn=True) produces the same inference as the
+    unfolded testee (same seed), end-to-end through infer_batch."""
+    from ssr_eval_tpu.models.testees import NVSRTestee
+
+    x = jnp.asarray(
+        0.1 * np.random.default_rng(2).standard_normal((1, 8820)).astype(np.float32)
+    )
+    n = jnp.asarray([8820], jnp.int32)
+    base = NVSRTestee(model_name="dnn", seed=11)
+    fold = NVSRTestee(model_name="dnn", seed=11, fold_bn=True)
+    y0, n0 = base.infer_batch(x, n, base.variables)
+    y1, n1 = fold.infer_batch(x, n, fold.variables)
+    assert int(n0[0]) == int(n1[0])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-5)
+
+
+def test_fold_bn_bigru_raises():
+    from ssr_eval_tpu.models.testees import NVSRTestee
+
+    with pytest.raises(ValueError, match="fold_bn"):
+        NVSRTestee(model_name="bigru", fold_bn=True)
