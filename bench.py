@@ -26,9 +26,9 @@ next-round #1/#5/#6):
 - nvsr: flagship-model line (random weights) — utt/s/chip + per-cutoff
   mean LSD through the fused engine.
 - iir_subsampling_matrix: mixed-family sweep throughput (default-on).
-- pallas_ab: three-way |STFT| timing, ms per 8x266k batch — XLA
-  Cooley-Tukey path (default) vs the two selectable Pallas kernels
-  (dense-DFT, VMEM-butterfly Cooley-Tukey).
+- pallas_ab: |STFT| timing, ms per 8x266k batch — XLA Cooley-Tukey
+  path (default) vs the selectable Pallas VMEM-butterfly CT kernel
+  (the dense-DFT Pallas variant was retired in r4, VERDICT r3 #6).
 - v5e8_extrapolated: vs_baseline x 8. Utterance-sweep evaluation is
   embarrassingly parallel over the 'data' mesh axis (no cross-chip
   collectives in the compiled program); the 8-way sharded path is
@@ -165,7 +165,7 @@ def _timed_passes(engine, paths, passes=PASSES):
 
 
 def _pallas_ab():
-    """ms per 8x266k-batch |STFT|: Pallas dense-DFT kernel vs XLA CT path."""
+    """ms per 8x266k-batch |STFT|: Pallas CT kernel vs XLA CT path."""
     import jax
     import jax.numpy as jnp
 
@@ -195,7 +195,6 @@ def _pallas_ab():
     out = {}
     for name, flag in (
         ("xla_ct", "0"),
-        ("pallas_dense_dft", "1"),
         ("pallas_ct", "ct"),
     ):
         os.environ["SSR_EVAL_TPU_PALLAS"] = flag
@@ -207,6 +206,72 @@ def _pallas_ab():
         out[name + "_ms"] = round((time.perf_counter() - t0) / 3 / R * 1e3, 2)
     os.environ.pop("SSR_EVAL_TPU_PALLAS", None)
     return out
+
+
+def _drain_split(eng, peaks):
+    """Split the headline drain into device-busy vs tunnel-wait
+    (VERDICT r3 #1): time 1 blocked call vs K pipelined calls of the REAL
+    compiled fused program on zero-filled args of the recorded shapes.
+
+    marginal = (t_K - t_1) / (K - 1) is the per-call steady-state cost —
+    device time if the device is the bottleneck, the per-call RPC floor
+    if the tunnel is.  Compared against the roofline-ideal ms from the
+    compiled cost model: marginal >> ideal ==> the residual drain is
+    dispatch/RPC, not device work."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssr_eval_tpu.utils.flops import compiled_cost
+
+    entries = [
+        (k, v) for k, v in getattr(eng, "_cost_args", {}).items()
+        if k and k[0] == "fused"
+    ]
+    if len(entries) != 1:
+        return {"error": f"{len(entries)} fused programs (expected 1)"}
+    key, (fn, aargs) = entries[0]
+    args = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), aargs
+    )
+
+    def _force(o):
+        m = o[0] if isinstance(o, tuple) else o
+        return np.asarray(m)  # small [S,4,B] block; forces completion
+
+    _force(fn(*args))  # warm (already compiled in the timed passes)
+    t1 = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(fn(*args))
+        dt = time.perf_counter() - t0
+        t1 = dt if t1 is None else min(t1, dt)
+    K = 12
+    tK = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(K)]
+        _force(outs[-1])  # device streams are ordered: last waits for all
+        dt = time.perf_counter() - t0
+        tK = dt if tK is None else min(tK, dt)
+    marginal_ms = (tK - t1) / (K - 1) * 1e3
+    cost = compiled_cost(fn, aargs)
+    ideal_ms = None
+    if peaks.get("hbm_gbps") and cost["bytes_accessed"] > 0:
+        ideal_ms = max(
+            cost["bytes_accessed"] / (peaks["hbm_gbps"] * 1e9),
+            cost["flops"] / (peaks["bf16_tflops"] * 1e12),
+        ) * 1e3
+    return {
+        "one_call_ms": round(t1 * 1e3, 2),
+        "pipelined_marginal_ms_per_call": round(marginal_ms, 2),
+        "roofline_ideal_ms_per_call": round(ideal_ms, 2) if ideal_ms else None,
+        "k": K,
+        "note": (
+            "marginal >> ideal means the steady-state per-batch cost is "
+            "tunnel RPC floor, not device work; one_call - marginal is "
+            "the per-dispatch latency overlapped away by async dispatch"
+        ),
+    }
 
 
 def _log(msg):
@@ -276,6 +341,11 @@ def main():
     elapsed, stages, runs = _timed_passes(eng, paths)
     thr = N_UTTS / elapsed / n_chips
     headline_util = _engine_utilization(eng, N_UTTS, BATCH, elapsed)
+    _log("headline drain split (1 vs K pipelined calls)")
+    try:
+        drain_split = _drain_split(eng, peaks)
+    except Exception as e:
+        drain_split = {"error": f"{type(e).__name__}: {e}"[:200]}
     results = eng.evaluate_files(paths[:N_BASE])  # for the oracle delta
 
     # ---- CPU reference baseline (float64 NumPy, same sweep) -------------
@@ -344,13 +414,13 @@ def main():
             nv_cfg_bf16 = {"batch": 2, "fold": 4} if QUICK else {"batch": 16, "fold": 112}
             nv_cfg_f32 = {"batch": 2, "fold": 4} if QUICK else {"batch": 8, "fold": 56}
 
-            def _nvsr_run(dtype, batch, fold, passes=2):
+            def _nvsr_run(dtype, batch, fold, passes=2, fold_bn=False):
                 # Per-dtype best measured config (6 s bucket, real chip):
                 # f32 batch 8 / fold 56 (one 56-row folded model call per
                 # batch; fold 112 exhausts HBM in f32), bf16 batch 16 /
                 # fold 112 (half-size activations fit the bigger fold).
                 # vs batch 4 / fold 32: 10.7 -> 16.7 f32, 12.5 -> 24.0 bf16.
-                nv = NVSRTestee(model_name="unet", dtype=dtype)
+                nv = NVSRTestee(model_name="unet", dtype=dtype, fold_bn=fold_bn)
                 eng_nv = _engine(specs, nv, batch=batch, infer_fold_max=fold)
                 eng_nv.evaluate_files(paths[:batch])
                 e_nv, r_nv = None, None
@@ -375,9 +445,21 @@ def main():
             # accuracy cross-check and as the conservative fallback).
             thr_bf16, lsd_bf16, util_bf16 = _nvsr_run(jnp.bfloat16, **nv_cfg_bf16)
             thr_f32, lsd_f32, util_f32 = _nvsr_run(None, **nv_cfg_f32)
+            # fold_bn A/B (VERDICT r3 #2): eval-mode BN folded into
+            # adjacent conv/dense weights where exact (models/fold_bn.py);
+            # keep as default if >5%, else a recorded dead-end.
+            _log("nvsr fold_bn A/B")
+            thr_bf16_fold, lsd_fold, _ = _nvsr_run(
+                jnp.bfloat16, **nv_cfg_bf16, fold_bn=True
+            )
             nvsr_detail = {
                 "dtype_default": "bf16",
                 "utt_per_s_per_chip_bf16": thr_bf16,
+                "utt_per_s_per_chip_bf16_fold_bn": thr_bf16_fold,
+                "fold_bn_speedup": round(thr_bf16_fold / thr_bf16, 4),
+                "max_abs_dLSD_fold_bn": round(
+                    max(abs(lsd_fold[k] - lsd_bf16[k]) for k in lsd_bf16), 6
+                ),
                 "utt_per_s_per_chip_f32": thr_f32,
                 "utilization_bf16": util_bf16,
                 "utilization_f32": util_f32,
@@ -470,6 +552,7 @@ def main():
         ),
         "chip": peaks,
         "headline_utilization": headline_util,
+        "headline_drain_split": drain_split,
         "max_abs_delta_wellconditioned": max_delta_wc,
         "per_key_delta_wellconditioned": per_key_delta_wc,
         "max_abs_delta_device_vs_host_float64": dev_vs_h64,

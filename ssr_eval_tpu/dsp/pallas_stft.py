@@ -1,37 +1,29 @@
 """Pallas TPU kernel: fused window + DFT-matmul + magnitude.
 
 The metric/degradation spectrogram is the hottest op in the pipeline
-(SURVEY §3.5: 3+ STFTs per (file, setting) pair).  The XLA path computes
-real and imag DFT matmuls as separate HBM-resident intermediates before
-the magnitude; this kernel fuses the whole transform per tile:
+(SURVEY §3.5: 3+ STFTs per (file, setting) pair).  One kernel lives
+here: the Cooley-Tukey `fused_ct_stft_magnitude` (power-of-2 n_fft, VMEM
+butterflies) — base-DFT matmul on the MXU, L radix-2 butterfly levels and
+the magnitude all VMEM-resident, one HBM read of the leaves and one write
+of the magnitudes.
 
-    grid (frame_tiles, freq_tiles):
-      out[ft, fq] <- | (frames[ft] * window) @ Wr[:, fq] ,
-                      (frames[ft] * window) @ Wi[:, fq] |     (MXU)
-
-so real/imag never round-trip through HBM and the window multiply fuses
-into the matmul operand load.  The DFT-as-matmul form rides the MXU for
-any n_fft (incl. non-power-of-2 metric sizes like 2229 @48 kHz) with f32
-HIGHEST accumulation; frequency tiles stream the DFT matrices through
-VMEM in FREQ_TILE columns.
-
-Framing itself stays outside the kernels as static slab slices
+Framing itself stays outside the kernel as static slab slices
 (dsp.spectral.frame_slabs): Mosaic requires lane-aligned vector loads
 and 1024-tiled DMA offsets, and a 441-sample hop satisfies neither.
 
-Two kernels live here: the dense-DFT `fused_stft_magnitude` (any n_fft)
-and the Cooley-Tukey `fused_ct_stft_magnitude` (power-of-2, VMEM
-butterflies).  Correctness is tested in interpreter mode on CPU; both
-compile natively on TPU and are selectable via SSR_EVAL_TPU_PALLAS
-(see dsp.spectral._pallas_stft_mode — default off since round 2, when
-the XLA CT path started measuring faster; bench.py keeps the A/B).
+Status (r4): a documented EXPERIMENT, default off.  Isolated |STFT|
+timing is competitive with the XLA CT path (dsp/fft_matmul.py), but
+end-to-end the Mosaic call is a fusion barrier for the surrounding
+masking/metric ops — measured twice (r2: 50.3 utt/s forced-on vs 82.7
+XLA; r3 A/B inside tunnel noise isolated).  A second dense-DFT Pallas
+kernel (any n_fft) was retired in r4 on the same evidence (VERDICT r3
+#6): it duplicated the XLA dense-DFT path with the same barrier cost and
+no measured win — see docs/DESIGN.md "Dead ends".  Selectable via
+SSR_EVAL_TPU_PALLAS=ct (or 1); correctness is pinned in interpreter mode
+on CPU (tests/test_pallas_stft.py) and bench.py records the A/B.
 """
 
 from __future__ import annotations
-
-import functools
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -39,37 +31,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FRAME_TILE = 128
-FREQ_TILE = 256
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
-
-
-@functools.lru_cache(maxsize=16)
-def _padded_dft(n_fft: int, n_bins_pad: int):
-    """Real/imag rDFT matrices zero-padded to a lane-aligned bin count."""
-    n = np.arange(n_fft, dtype=np.float64)[:, None]
-    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
-    ang = -2.0 * np.pi * n * k / n_fft
-    wr = np.zeros((n_fft, n_bins_pad), np.float32)
-    wi = np.zeros((n_fft, n_bins_pad), np.float32)
-    wr[:, : k.shape[1]] = np.cos(ang)
-    wi[:, : k.shape[1]] = np.sin(ang)
-    return wr, wi
-
-
-def _kernel(frames_ref, win_ref, wr_ref, wi_ref, out_ref):
-    fr = frames_ref[:] * win_ref[:]
-    real = jnp.dot(
-        fr, wr_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    imag = jnp.dot(
-        fr, wi_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    out_ref[:] = jnp.sqrt(real * real + imag * imag)
 
 
 def _ct_kernel(leaves_ref, cr_ref, ci_ref, *rest):
@@ -169,43 +134,3 @@ def fused_ct_stft_magnitude(
         interpret=interpret,
     )(leaves, jnp.asarray(cr), jnp.asarray(ci), *tw)
     return out[:max_frames, : n_fft // 2 + 1]
-
-
-def fused_stft_magnitude(
-    ext: jnp.ndarray,
-    n_fft: int,
-    hop: int,
-    max_frames: int,
-    window: np.ndarray,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """|STFT| of an already reflect-extended signal [Lext].
-
-    Frames beyond `max_frames` are garbage and the caller's to mask (same
-    contract as dsp.spectral.stft_real_imag).
-    Returns [max_frames, n_bins], n_bins = n_fft//2 + 1.
-    """
-    from ssr_eval_tpu.dsp.spectral import frame_slabs
-
-    n_bins = n_fft // 2 + 1
-    n_bins_pad = _round_up(n_bins, FREQ_TILE)
-    mf_pad = _round_up(max_frames, FRAME_TILE)
-    frames = frame_slabs(ext, hop, n_fft, mf_pad)  # static slices, no gather
-
-    wr, wi = _padded_dft(n_fft, n_bins_pad)
-    out = pl.pallas_call(
-        _kernel,
-        grid=(mf_pad // FRAME_TILE, n_bins_pad // FREQ_TILE),
-        in_specs=[
-            pl.BlockSpec((FRAME_TILE, n_fft), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # window [1, n_fft]
-            pl.BlockSpec((n_fft, FREQ_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, FREQ_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (FRAME_TILE, FREQ_TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((mf_pad, n_bins_pad), jnp.float32),
-        interpret=interpret,
-    )(frames, jnp.asarray(window.astype(np.float32)[None, :]), jnp.asarray(wr), jnp.asarray(wi))
-    return out[:max_frames, :n_bins]

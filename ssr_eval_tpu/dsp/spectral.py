@@ -193,24 +193,25 @@ def stft_real_imag(
 
 def _pallas_stft_mode() -> str:
     """Pallas spectrogram kernel selection via SSR_EVAL_TPU_PALLAS:
-    "" / "0" — the XLA path (CT matmul FFT for power-of-2, dense DFT
-    otherwise); "1"/"dense" — the fused dense-DFT Pallas kernel; "ct" —
-    the fused Cooley-Tukey Pallas kernel (VMEM-resident butterflies).
+    "" / "0" / "false" — the XLA path (CT matmul FFT for power-of-2,
+    dense DFT otherwise); any other value — the fused Cooley-Tukey Pallas
+    kernel (VMEM-resident butterflies).
 
-    Default is the XLA path: repeated 3-way A/Bs through the tunnel are
-    within its run-to-run noise (one run: ct 4.17 < xla 4.71 < dense
-    4.83 ms; another: xla 5.12 < dense 5.64 < ct 7.46 per 8x266k-batch
-    |STFT|), so the single-code-path default stands and bench.py keeps
-    recording the A/B.  Shapes the CT kernel can't take (non-power-of-2,
-    n_fft > 4096, win != n_fft) fall through to the XLA path."""
+    Default is the XLA path: isolated kernel A/Bs sit inside tunnel noise
+    (ct 4.17 vs xla 4.71 ms one run, xla 5.12 vs ct 7.46 another, per
+    8x266k-batch |STFT|), and end-to-end the Mosaic call is a fusion
+    barrier for the surrounding mask/metric ops (r2: 50.3 utt/s forced-on
+    vs 82.7 XLA).  The dense-DFT Pallas variant was retired in r4 on that
+    evidence (VERDICT r3 #6) — it duplicated the XLA dense path with the
+    same barrier cost; the CT kernel stays as the sole documented
+    experiment.  Shapes it can't take (non-power-of-2, n_fft > 4096,
+    win != n_fft) fall through to the XLA path."""
     import os
 
     flag = os.environ.get("SSR_EVAL_TPU_PALLAS", "0")
     if flag in ("0", "false", ""):
         return ""
-    if flag == "ct":
-        return "ct"
-    return "dense"
+    return "ct"
 
 
 def stft_magnitude(
@@ -221,24 +222,16 @@ def stft_magnitude(
     mode = _pallas_stft_mode()
     if cfg.center and cfg.win == cfg.n_fft and mode:
         from ssr_eval_tpu.dsp import fft_matmul as _fm
-        from ssr_eval_tpu.dsp.pallas_stft import (
-            fused_ct_stft_magnitude,
-            fused_stft_magnitude,
-        )
+        from ssr_eval_tpu.dsp.pallas_stft import fused_ct_stft_magnitude
 
         ct_ok = _fm.ct_levels(cfg.n_fft) is not None and cfg.n_fft <= 4096
-        if mode == "ct" and not ct_ok:
+        if not ct_ok:
             mag = None  # fall through to the XLA path below
         else:
             ext = _extend(x, length, cfg.pad)
-            if mode == "ct":
-                mag = fused_ct_stft_magnitude(
-                    ext, cfg.n_fft, cfg.hop, max_frames, hann_window(cfg.win)
-                )
-            else:
-                mag = fused_stft_magnitude(
-                    ext, cfg.n_fft, cfg.hop, max_frames, hann_window(cfg.win)
-                )
+            mag = fused_ct_stft_magnitude(
+                ext, cfg.n_fft, cfg.hop, max_frames, hann_window(cfg.win)
+            )
         if mag is not None:
             if eps:
                 mag = jnp.sqrt(jnp.maximum(mag * mag, eps))
