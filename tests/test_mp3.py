@@ -155,3 +155,65 @@ def test_lame_reject_falls_back_or_errors_cleanly(monkeypatch):
     out = codec.mp3_degrade("utt.flac", x, 13000, 32)
     assert calls == ["sox"]
     assert out.shape == x.shape
+
+
+def test_mp3_device_testee_batched_scoring(tmp_path):
+    """VERDICT r3 #5: an mp3 spec with a DEVICE testee routes the whole
+    codec-degraded batch through ONE fused infer->resample->metrics
+    device call (engine._mp3_device_score) instead of B per-utterance
+    host-bridge dispatches — and produces the same metrics as the host
+    bridge it replaced."""
+    import jax.numpy as jnp
+
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.harness.testee import BatchedTestee
+    from ssr_eval_tpu.io.audio import write_flac
+
+    sr = 44100
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"u{i}.flac")
+        write_flac(p, _sig(int(0.5 * sr), seed=i), sr)
+        paths.append(p)
+    specs = expand_settings(setting_mp3_compression={"low_kbps": [64]}, sr=sr)
+
+    class CountingTestee(BatchedTestee):
+        infer_calls = 0
+
+        def infer(self, x):
+            type(self).infer_calls += 1
+            return super().infer(x)
+
+    def run(force_host):
+        CountingTestee.infer_calls = 0
+        eng = EvalEngine(
+            specs, input_sr=sr, output_sr=sr, evaluation_sr=sr,
+            testee=CountingTestee(), batch_size=4,
+        )
+        if force_host:
+            eng.device_testee = False  # the pre-r4 per-utterance bridge
+        res = eng.evaluate_files(paths)
+        return eng, res, CountingTestee.infer_calls
+
+    eng_dev, res_dev, infers_dev = run(force_host=False)
+    eng_host, res_host, infers_host = run(force_host=True)
+
+    # Device path: one fused mp3_score program, called once per batch,
+    # zero host-side per-utterance infer calls.
+    mp3_calls = [
+        v for k, v in eng_dev._cost_calls.items() if k and k[0] == "mp3_score"
+    ]
+    assert mp3_calls == [1]
+    assert infers_dev == 0
+    # Host bridge: one infer per real utterance.
+    assert infers_host == len(paths)
+
+    # Same metrics (both score on device in f32; tiny reassociation
+    # differences only).
+    key = specs[0].key
+    for p in paths:
+        for m in ("lsd", "log_sispec", "sispec", "ssim"):
+            assert abs(res_dev[p][key][m] - res_host[p][key][m]) < 1e-4, (
+                p, m, res_dev[p][key][m], res_host[p][key][m],
+            )
