@@ -443,22 +443,25 @@ def main():
             # bf16 is the benched default config (VERDICT r2 #2): it is
             # the recommended production dtype on TPU (f32 kept for the
             # accuracy cross-check and as the conservative fallback).
-            thr_bf16, lsd_bf16, util_bf16 = _nvsr_run(jnp.bfloat16, **nv_cfg_bf16)
-            thr_f32, lsd_f32, util_f32 = _nvsr_run(None, **nv_cfg_f32)
-            # fold_bn A/B (VERDICT r3 #2): eval-mode BN folded into
-            # adjacent conv/dense weights where exact (models/fold_bn.py);
-            # keep as default if >5%, else a recorded dead-end.
-            _log("nvsr fold_bn A/B")
-            thr_bf16_fold, lsd_fold, _ = _nvsr_run(
+            # fold_bn is the benched inference default since r4: the A/B
+            # measured +5.4% at |dLSD| 1.6e-4 on the real chip (VERDICT
+            # r3 #2 keep-threshold >5%); the unfolded run stays recorded
+            # as the A/B baseline.
+            thr_bf16, lsd_bf16, util_bf16 = _nvsr_run(
                 jnp.bfloat16, **nv_cfg_bf16, fold_bn=True
             )
+            thr_f32, lsd_f32, util_f32 = _nvsr_run(None, **nv_cfg_f32)
+            _log("nvsr fold_bn A/B (unfolded baseline)")
+            thr_bf16_unfold, lsd_unfold, _ = _nvsr_run(
+                jnp.bfloat16, **nv_cfg_bf16
+            )
             nvsr_detail = {
-                "dtype_default": "bf16",
+                "dtype_default": "bf16+fold_bn",
                 "utt_per_s_per_chip_bf16": thr_bf16,
-                "utt_per_s_per_chip_bf16_fold_bn": thr_bf16_fold,
-                "fold_bn_speedup": round(thr_bf16_fold / thr_bf16, 4),
+                "utt_per_s_per_chip_bf16_unfolded": thr_bf16_unfold,
+                "fold_bn_speedup": round(thr_bf16 / thr_bf16_unfold, 4),
                 "max_abs_dLSD_fold_bn": round(
-                    max(abs(lsd_fold[k] - lsd_bf16[k]) for k in lsd_bf16), 6
+                    max(abs(lsd_unfold[k] - lsd_bf16[k]) for k in lsd_bf16), 6
                 ),
                 "utt_per_s_per_chip_f32": thr_f32,
                 "utilization_bf16": util_bf16,
