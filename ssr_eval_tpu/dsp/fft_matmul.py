@@ -138,20 +138,76 @@ def fft_ct(zr: jnp.ndarray, zi, n_fft: int, base: int = _BASE):
     return _combine(re, im, L, M)
 
 
+@functools.lru_cache(maxsize=16)
+def _pack_twiddle(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """W[k] = e^{-2*pi*i*k/n_fft} for k in [0, n_fft/2], f64 -> f32."""
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)
+    ang = -2.0 * np.pi * k / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
 def rfft_ct(x: jnp.ndarray, n_fft: int, base: int = _BASE):
-    """Real-input FFT -> (real, imag) [..., n_fft//2 + 1]."""
-    re, im = fft_ct(x, None, n_fft, base)
-    nb = n_fft // 2 + 1
-    return re[..., :nb], im[..., :nb]
+    """Real-input FFT -> (real, imag) [..., n_fft//2 + 1].
+
+    Real inputs pack into an n_fft/2-point COMPLEX transform
+    (z[n] = x[2n] + i*x[2n+1]) plus an O(N) untangle — halving every
+    butterfly level's HBM pass relative to the real-as-complex full
+    transform (measured r4: the fused sweep's drain is transform-pass
+    bound).  Falls back to the full transform when n_fft/2 does not
+    factor as 2^L * base."""
+    half = n_fft // 2
+    if n_fft % 2 or ct_levels(half, base) is None:
+        re, im = fft_ct(x, None, n_fft, base)
+        nb = n_fft // 2 + 1
+        return re[..., :nb], im[..., :nb]
+    Zr, Zi = fft_ct(x[..., 0::2], x[..., 1::2], half, base)
+    # k = 0..half with Z[half] == Z[0]; Z_f := conj(Z[half - k])
+    Zr_e = jnp.concatenate([Zr, Zr[..., :1]], axis=-1)
+    Zi_e = jnp.concatenate([Zi, Zi[..., :1]], axis=-1)
+    Zr_f = Zr_e[..., ::-1]
+    Zi_f = -Zi_e[..., ::-1]
+    ar = 0.5 * (Zr_e + Zr_f)
+    ai = 0.5 * (Zi_e + Zi_f)
+    dr = Zr_e - Zr_f
+    di = Zi_e - Zi_f
+    br = 0.5 * di   # B = -i/2 * d
+    bi = -0.5 * dr
+    wr_np, wi_np = _pack_twiddle(n_fft)
+    wr, wi = jnp.asarray(wr_np), jnp.asarray(wi_np)
+    return ar + wr * br - wi * bi, ai + wr * bi + wi * br
 
 
 def irfft_ct(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, base: int = _BASE):
     """Inverse of rfft_ct: hermitian half-spectrum [..., n_fft//2+1] ->
     real signal [..., n_fft].
 
-    Uses irfft(Z) = Re(FFT(conj(Z_full))) / N with the hermitian
-    extension Z_full[N-k] = conj(Z[k])."""
-    ext_re = jnp.concatenate([real, real[..., -2:0:-1]], axis=-1)
-    ext_im = jnp.concatenate([-imag, imag[..., -2:0:-1]], axis=-1)
-    yr, _ = fft_ct(ext_re, ext_im, n_fft, base)
-    return yr / n_fft
+    Inverse pack trick (see rfft_ct): untangle to the n_fft/2-point
+    complex spectrum, one half-size inverse transform (via
+    ifft(Z) = conj(fft(conj(Z)))/M), interleave.  Fallback: the
+    hermitian extension + full-length transform."""
+    half = n_fft // 2
+    if n_fft % 2 or ct_levels(half, base) is None:
+        ext_re = jnp.concatenate([real, real[..., -2:0:-1]], axis=-1)
+        ext_im = jnp.concatenate([-imag, imag[..., -2:0:-1]], axis=-1)
+        yr, _ = fft_ct(ext_re, ext_im, n_fft, base)
+        return yr / n_fft
+    # X_f := conj(X[half - k]) on k = 0..half
+    Xr_f = real[..., ::-1]
+    Xi_f = -imag[..., ::-1]
+    ar = 0.5 * (real + Xr_f)
+    ai = 0.5 * (imag + Xi_f)
+    dr = real - Xr_f
+    di = imag - Xi_f
+    wr_np, wi_np = _pack_twiddle(n_fft)
+    wr, wi = jnp.asarray(wr_np), jnp.asarray(wi_np)
+    br = 0.5 * (dr * wr + di * wi)  # B = d * conj(W) / 2
+    bi = 0.5 * (di * wr - dr * wi)
+    # Z = A + i*B, keep k = 0..half-1
+    Zr = (ar - bi)[..., :half]
+    Zi = (ai + br)[..., :half]
+    yr, yi = fft_ct(Zr, -Zi, half, base)
+    zre = yr / half
+    zim = -yi / half
+    # interleave: x[2n] = Re(z[n]), x[2n+1] = Im(z[n])
+    out = jnp.stack([zre, zim], axis=-1)
+    return out.reshape(*zre.shape[:-1], n_fft)
