@@ -146,8 +146,14 @@ def _engine(specs, testee, batch=BATCH, **kw):
 
 
 def _timed_passes(engine, paths, passes=PASSES):
-    """Warm once, then best-of-N wall times + the best pass's stage delta."""
-    engine.evaluate_files(paths[: engine.batch_size])  # compile
+    """Warm once, then best-of-N wall times + the best pass's stage delta.
+
+    Warm-up compiles every program a timed pass will dispatch: one
+    single-batch run forces the standalone per-batch fused program (also
+    the cost-accounting / drain-split reference), then a full run
+    compiles the K-stacked mega program when mega dispatch applies."""
+    engine.evaluate_files(paths[: engine.batch_size])  # per-batch program
+    engine.evaluate_files(paths)  # mega program (when applicable)
     best, best_stages, runs = None, None, []
     for _ in range(passes):
         before = dict(engine.stats.seconds)
@@ -261,7 +267,7 @@ def _drain_split(eng, peaks):
             cost["bytes_accessed"] / (peaks["hbm_gbps"] * 1e9),
             cost["flops"] / (peaks["bf16_tflops"] * 1e12),
         ) * 1e3
-    return {
+    out = {
         "one_call_ms": round(t1 * 1e3, 2),
         "pipelined_marginal_ms_per_call": round(marginal_ms, 2),
         "roofline_ideal_ms_per_call": round(ideal_ms, 2) if ideal_ms else None,
@@ -272,6 +278,32 @@ def _drain_split(eng, peaks):
             "the per-dispatch latency overlapped away by async dispatch"
         ),
     }
+    # Mega program (K batches per call): one call replaces K per-batch
+    # RPCs, so its per-batch ms against the fused marginal above IS the
+    # measured value of mega dispatch.
+    mega = [
+        (k, v) for k, v in getattr(eng, "_cost_args", {}).items()
+        if k and k[0] == "mega"
+    ]
+    if len(mega) == 1:
+        mkey, (mfn, maargs) = mega[0]
+        margs = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), maargs
+        )
+        np.asarray(mfn(*margs))  # warm
+        tm = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(mfn(*margs))
+            dt = time.perf_counter() - t0
+            tm = dt if tm is None else min(tm, dt)
+        mk = int(mkey[-1])
+        out["mega"] = {
+            "one_call_ms": round(tm * 1e3, 2),
+            "k_batches": mk,
+            "ms_per_batch": round(tm / mk * 1e3, 2),
+        }
+    return out
 
 
 def _log(msg):

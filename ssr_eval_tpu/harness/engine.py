@@ -108,6 +108,7 @@ class EvalEngine:
         input_res_type="polyphase",
         metrics_backend="device",
         infer_fold_max=None,
+        mega_batches=None,
     ):
         self.specs = list(specs)
         self.input_sr = int(input_sr)
@@ -130,6 +131,10 @@ class EvalEngine:
         # None -> _infer_fold_max()'s env/default.  bfloat16 models can
         # run ~2x the float32 fold before activations exhaust HBM.
         self.infer_fold_max = infer_fold_max
+        # Mega-dispatch group size (batches per device call); None -> the
+        # SSR_EVAL_TPU_MEGA env default.  See _mega_k for the rationale
+        # and the conditions under which it applies.
+        self.mega_batches = mega_batches
         self.profile_dir = profile_dir
         self.journal = journal
         self.stats = StageTimers()
@@ -411,6 +416,120 @@ class EvalEngine:
         return out  # (metrics [S,4,B], ye, ne)
 
     # ------------------------------------------------------------------
+    # Mega-dispatch: K batches per device call
+    # ------------------------------------------------------------------
+
+    def _mega_k(self, have_mp3: bool) -> int:
+        """Effective mega-dispatch group size (0 = disabled).
+
+        Through the tunneled runtime every program execution carries a
+        per-call RPC floor (~147 ms marginal measured by bench.py's
+        drain split vs a ~35 ms roofline-ideal device time for the
+        headline program).  Stacking K same-shaped batches and running
+        the fused program under one `lax.map` pays that floor once per K
+        batches instead of once per batch.  Applies only where it is a
+        pure win: device-native testees, metrics-only outputs (no saved
+        audio, no host_float64 ground-truth pairing), no mesh (the mega
+        leading axis would fight the batch sharding axis), and no MP3
+        specs (those need per-batch host prep).  Leftover batches (< K
+        at stream end) go through the ordinary per-batch path, so no
+        padding work and no extra tail-sized programs are compiled."""
+        if not self.device_testee or self.mesh is not None:
+            return 0
+        if self.want_fused_audio or have_mp3:
+            return 0
+        k = self.mega_batches
+        if k is None:
+            import os
+
+            try:
+                k = int(os.environ.get("SSR_EVAL_TPU_MEGA", "12"))
+            except ValueError:
+                k = 12
+        k = int(k)
+        return k if k > 1 else 0
+
+    def _mega_fn(self, spec: DegradationSpec, native_sr: int, lnat: int, K: int):
+        """One jitted program mapping the fused sweep over a [K, B, Lnat]
+        stack of batches -> [K, S, 4, B] metric blocks.  The fused body
+        is traced once inside `lax.map`, so program size stays ~that of
+        the per-batch program."""
+        fkey = family_key(spec)
+        key = ("mega", fkey, native_sr, lnat, K)
+        if key not in self._compiled:
+            fused = self._fused_fn(spec, native_sr, lnat)
+
+            def mega(xs, ls, params_stacked, testee_state):
+                return jax.lax.map(
+                    lambda t: fused(t[0], t[1], params_stacked, testee_state),
+                    (xs, ls),
+                )
+
+            self._compiled[key] = jax.jit(mega)
+        return self._compiled[key]
+
+    def _mega_call(self, specs, native_sr, lnat, xj, lj, K):
+        """Run all `specs` (one family) for K stacked batches in ONE call."""
+        fn = self._mega_fn(specs[0], native_sr, lnat, K)
+        lin = int(self._input_plan(native_sr, lnat).out_length(lnat))
+        pkey = ("stacked_params", tuple(s.key for s in specs), lin)
+        if pkey not in self._compiled:
+            plist = [spec_params(s, lin) for s in specs]
+            self._compiled[pkey] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *plist
+            )
+        stacked = self._compiled[pkey]
+        state = self._state_for_call()
+        self._record_cost(
+            ("mega", family_key(specs[0]), native_sr, lnat, K),
+            fn,
+            (xj, lj, stacked, state),
+        )
+        return fn(xj, lj, stacked, state)
+
+    def _dispatch_mega(self, buf, device_specs, pending):
+        """Stack `buf` (a list of K same-bucket stream items) and enqueue
+        one mega call per spec family."""
+        import time as _time
+
+        _t = _time.perf_counter()
+        (sr, b) = buf[0][0]
+        xs = np.stack([it[2] for it in buf])  # [K, B, Lnat] int16/f32 wire
+        ls = np.stack([it[3] for it in buf])
+        xj, lj = jnp.asarray(xs), jnp.asarray(ls)
+        metas = [(it[1], len(it[1])) for it in buf]  # (idxs, n_real) per k
+        groups = {}
+        for spec in device_specs:
+            groups.setdefault(family_key(spec), []).append(spec)
+        K = len(buf)
+        fresh = False
+        for fkey, gspecs in groups.items():
+            fresh |= ("mega", fkey, sr, b, K) not in self._cost_calls
+            out = self._mega_call(gspecs, sr, b, xj, lj, K)
+            if _eager_fetch():
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    pass
+            pending.append(("mega", metas, gspecs, out))
+        stage = "compile" if fresh else "dispatch"
+        self.stats.seconds[stage] += _time.perf_counter() - _t
+        self.stats.counts[stage] += 1
+
+    def _drain_mega(self, results, paths, item):
+        """Host-materialize one mega block ([K, S, 4, B]) and collate."""
+        _, metas, gspecs, out = item
+        marr = np.asarray(out)
+        for k, (idxs, n_real) in enumerate(metas):
+            for si, spec in enumerate(gspecs):
+                m_si = {
+                    key: marr[k, si, ki] for ki, key in enumerate(METRIC_KEYS)
+                }
+                self._collate(
+                    results, paths, idxs, spec, m_si, None, None, n_real
+                )
+
+    # ------------------------------------------------------------------
     # Host-side orchestration
     # ------------------------------------------------------------------
 
@@ -599,6 +718,9 @@ class EvalEngine:
         mp3_pending = []
         import time as _time
 
+        mega_k = self._mega_k(bool(mp3_specs))
+        mega_buf = {}  # (sr, bucket) -> buffered stream items awaiting a mega group
+
         trace_cm = device_trace(self.profile_dir)
         trace_cm.__enter__()
         try:
@@ -615,107 +737,29 @@ class EvalEngine:
                 if item is None:
                     break
                 self.stats.counts["decode"] += 1
-                (sr, b), idxs, xb, lens = item
-
-                _t = _time.perf_counter()
-                # "fresh" => this batch triggers a first-execution jit trace /
-                # XLA compile; its wall time books to `compile`, not `dispatch`.
-                # Device testees compile the fused program; host paths (and the
-                # host_float64 cross-check) compile the prep program.
-                if self.device_testee and self.metrics_backend != "host_float64":
-                    fresh = False
-                else:
-                    fresh = ("prep", sr, b) not in self._compiled
-                if self.mesh is not None:
-                    sh = batch_sharding(self.mesh)
-                    xj = jax.device_put(xb, sh)
-                    lj = jax.device_put(lens, sh)
-                else:
-                    xj = jnp.asarray(xb)
-                    lj = jnp.asarray(lens)
-                n_real = len(idxs)
-
-                if self.device_testee:
-                    groups = {}
-                    for spec in device_specs:
-                        groups.setdefault(family_key(spec), []).append(spec)
-                    gt_pair = None
-                    if self.metrics_backend == "host_float64":
-                        prep, _, _ = self._prep_fn(sr, b)
-                        _, _, gtj, ngj = prep(xj, lj)
-                        gt_pair = (gtj, ngj)
-                    for fkey, gspecs in groups.items():
-                        fresh |= ("fused", fkey, sr, b) not in self._compiled
-                        # JAX dispatch is async: queue every batch's work on the
-                        # device before blocking on any transfer.
-                        out = self._fused_call(gspecs, sr, b, xj, lj)
-                        # Optionally start execution + the result transfer NOW
-                        # (SSR_EVAL_TPU_EAGER_FETCH=1): the tunneled runtime
-                        # defers work until a blocking fetch, which can
-                        # serialize decode and device compute — but the eager
-                        # fetch itself can also serialize the dispatch
-                        # pipeline, so it is measured, not assumed (bench.py).
-                        if _eager_fetch():
-                            self._prefetch_outputs(out, gt_pair)
-                        pending.append((idxs, gspecs, out, n_real, gt_pair))
-                    stage = "compile" if fresh else "dispatch"
-                    self.stats.seconds[stage] += _time.perf_counter() - _t
-                    self.stats.counts[stage] += 1
-                    # Bounded window: drain the OLDEST batch (most likely
-                    # already executed) once too many async results are
-                    # queued, so long sweeps don't pin unbounded HBM.
-                    while len(pending) >= _max_pending():
-                        _t = _time.perf_counter()
-                        self._drain_one(results, paths, pending.pop(0))
-                        self.stats.seconds["drain"] += _time.perf_counter() - _t
-                        self.stats.counts["drain"] += 1
-                else:
-                    prep, lin, lgt = self._prep_fn(sr, b)
-                    self._record_cost(("prep", sr, b), prep, (xj, lj))
-                    x_in, n_in, gt, n_gt = prep(xj, lj)
-                    x_in_h = np.asarray(x_in)
-                    n_in_h = np.asarray(n_in)
-                    stage = "compile" if fresh else "dispatch"
-                    self.stats.seconds[stage] += _time.perf_counter() - _t
-                    self.stats.counts[stage] += 1
-                    for spec in device_specs:
-                        dfn = self._degrade_fn(spec, lin)
-                        d = dfn(x_in, n_in)
-                        self._host_infer_and_score(
-                            results, paths, idxs, spec, np.asarray(d), n_in_h, gt, n_gt, n_real
-                        )
-                    for spec in mp3_specs:
-                        mp3_pending.append(
-                            (idxs, spec,
-                             self._mp3_submit(codec_ex, paths, idxs, spec,
-                                              x_in_h, n_in_h, n_real),
-                             x_in_h.shape, n_in_h, gt, n_gt, n_real)
-                        )
-
-                if self.device_testee and mp3_specs:
-                    _t = _time.perf_counter()
-                    # First batch of a bucket compiles the prep program even on
-                    # the device-testee path; book it to `compile`, not limbo.
-                    prep_fresh = ("prep", sr, b) not in self._compiled
-                    prep, lin, lgt = self._prep_fn(sr, b)
-                    x_in, n_in, gt, n_gt = prep(xj, lj)
-                    pstage = "compile" if prep_fresh else "dispatch"
-                    self.stats.seconds[pstage] += _time.perf_counter() - _t
-                    self.stats.counts[pstage] += 1
-                    x_in_h = np.asarray(x_in)
-                    n_in_h = np.asarray(n_in)
-                    for spec in mp3_specs:
-                        mp3_pending.append(
-                            (idxs, spec,
-                             self._mp3_submit(codec_ex, paths, idxs, spec,
-                                              x_in_h, n_in_h, n_real),
-                             x_in_h.shape, n_in_h, gt, n_gt, n_real)
-                        )
-
-                # Same bounded window for queued codec jobs (each pins its
-                # batch's ground-truth device buffers until scored).
-                while len(mp3_pending) >= _max_pending():
-                    self._mp3_collect(results, paths, mp3_pending.pop(0))
+                if mega_k:
+                    # Buffer same-bucket batches; each full group of K goes
+                    # up in ONE device call (per-call RPC floor paid once
+                    # per K batches — see _mega_k).
+                    buf = mega_buf.setdefault(item[0], [])
+                    buf.append(item)
+                    if len(buf) >= mega_k:
+                        self._dispatch_mega(buf[:mega_k], device_specs, pending)
+                        del buf[:mega_k]
+                    self._drain_window(results, paths, pending)
+                    continue
+                self._process_batch(
+                    item, results, paths, pending, mp3_pending,
+                    device_specs, mp3_specs, codec_ex,
+                )
+            # Leftover (< K) buffered batches take the ordinary per-batch
+            # path — no padding work, no tail-sized extra programs.
+            for buf in mega_buf.values():
+                for item in buf:
+                    self._process_batch(
+                        item, results, paths, pending, mp3_pending,
+                        device_specs, mp3_specs, codec_ex,
+                    )
         finally:
             trace_cm.__exit__(None, None, None)
 
@@ -725,8 +769,8 @@ class EvalEngine:
         # transfer per batch (~35 ms RPC each).
         _t_drain = _time.perf_counter()
         had_pending = bool(pending)
-        for _, _, out_, _, gt_pair_ in pending:
-            self._prefetch_outputs(out_, gt_pair_)
+        for item in pending:
+            self._prefetch_item(item)
         for item in pending:
             self._drain_one(results, paths, item)
 
@@ -739,6 +783,124 @@ class EvalEngine:
         # device compute).
         for job in mp3_pending:
             self._mp3_collect(results, paths, job)
+
+    def _drain_window(self, results, paths, pending):
+        """Bounded window: drain the OLDEST dispatched batch (most likely
+        already executed) once too many async results are queued, so long
+        sweeps don't pin unbounded HBM."""
+        import time as _time
+
+        while len(pending) >= _max_pending():
+            _t = _time.perf_counter()
+            self._drain_one(results, paths, pending.pop(0))
+            self.stats.seconds["drain"] += _time.perf_counter() - _t
+            self.stats.counts["drain"] += 1
+
+    def _process_batch(
+        self, item, results, paths, pending, mp3_pending,
+        device_specs, mp3_specs, codec_ex,
+    ):
+        """Dispatch one decoded batch through the per-batch path (device
+        fused call, host-testee bridge, and/or MP3 codec submission)."""
+        import time as _time
+
+        (sr, b), idxs, xb, lens = item
+
+        _t = _time.perf_counter()
+        # "fresh" => this batch triggers a first-execution jit trace /
+        # XLA compile; its wall time books to `compile`, not `dispatch`.
+        # Device testees compile the fused program; host paths (and the
+        # host_float64 cross-check) compile the prep program.
+        if self.device_testee and self.metrics_backend != "host_float64":
+            fresh = False
+        else:
+            fresh = ("prep", sr, b) not in self._compiled
+        if self.mesh is not None:
+            sh = batch_sharding(self.mesh)
+            xj = jax.device_put(xb, sh)
+            lj = jax.device_put(lens, sh)
+        else:
+            xj = jnp.asarray(xb)
+            lj = jnp.asarray(lens)
+        n_real = len(idxs)
+
+        if self.device_testee:
+            groups = {}
+            for spec in device_specs:
+                groups.setdefault(family_key(spec), []).append(spec)
+            gt_pair = None
+            if self.metrics_backend == "host_float64":
+                prep, _, _ = self._prep_fn(sr, b)
+                _, _, gtj, ngj = prep(xj, lj)
+                gt_pair = (gtj, ngj)
+            for fkey, gspecs in groups.items():
+                # First EXECUTION compiles (checked via _cost_calls, not
+                # _compiled: a mega trace registers the fused jit wrapper
+                # without ever running it standalone).
+                fresh |= ("fused", fkey, sr, b) not in self._cost_calls
+                # JAX dispatch is async: queue every batch's work on the
+                # device before blocking on any transfer.
+                out = self._fused_call(gspecs, sr, b, xj, lj)
+                # Optionally start execution + the result transfer NOW
+                # (SSR_EVAL_TPU_EAGER_FETCH=1): the tunneled runtime
+                # defers work until a blocking fetch, which can
+                # serialize decode and device compute — but the eager
+                # fetch itself can also serialize the dispatch
+                # pipeline, so it is measured, not assumed (bench.py).
+                if _eager_fetch():
+                    self._prefetch_outputs(out, gt_pair)
+                pending.append(("batch", idxs, gspecs, out, n_real, gt_pair))
+            stage = "compile" if fresh else "dispatch"
+            self.stats.seconds[stage] += _time.perf_counter() - _t
+            self.stats.counts[stage] += 1
+            self._drain_window(results, paths, pending)
+        else:
+            prep, lin, lgt = self._prep_fn(sr, b)
+            self._record_cost(("prep", sr, b), prep, (xj, lj))
+            x_in, n_in, gt, n_gt = prep(xj, lj)
+            x_in_h = np.asarray(x_in)
+            n_in_h = np.asarray(n_in)
+            stage = "compile" if fresh else "dispatch"
+            self.stats.seconds[stage] += _time.perf_counter() - _t
+            self.stats.counts[stage] += 1
+            for spec in device_specs:
+                dfn = self._degrade_fn(spec, lin)
+                d = dfn(x_in, n_in)
+                self._host_infer_and_score(
+                    results, paths, idxs, spec, np.asarray(d), n_in_h, gt, n_gt, n_real
+                )
+            for spec in mp3_specs:
+                mp3_pending.append(
+                    (idxs, spec,
+                     self._mp3_submit(codec_ex, paths, idxs, spec,
+                                      x_in_h, n_in_h, n_real),
+                     x_in_h.shape, n_in_h, gt, n_gt, n_real)
+                )
+
+        if self.device_testee and mp3_specs:
+            _t = _time.perf_counter()
+            # First batch of a bucket compiles the prep program even on
+            # the device-testee path; book it to `compile`, not limbo.
+            prep_fresh = ("prep", sr, b) not in self._compiled
+            prep, lin, lgt = self._prep_fn(sr, b)
+            x_in, n_in, gt, n_gt = prep(xj, lj)
+            pstage = "compile" if prep_fresh else "dispatch"
+            self.stats.seconds[pstage] += _time.perf_counter() - _t
+            self.stats.counts[pstage] += 1
+            x_in_h = np.asarray(x_in)
+            n_in_h = np.asarray(n_in)
+            for spec in mp3_specs:
+                mp3_pending.append(
+                    (idxs, spec,
+                     self._mp3_submit(codec_ex, paths, idxs, spec,
+                                      x_in_h, n_in_h, n_real),
+                     x_in_h.shape, n_in_h, gt, n_gt, n_real)
+                )
+
+        # Same bounded window for queued codec jobs (each pins its
+        # batch's ground-truth device buffers until scored).
+        while len(mp3_pending) >= _max_pending():
+            self._mp3_collect(results, paths, mp3_pending.pop(0))
 
     def _host_infer_and_score(
         self, results, paths, idxs, spec, d_h, n_in_h, gt, n_gt, n_real
@@ -785,9 +947,22 @@ class EvalEngine:
         except Exception:
             pass  # transfer hints only; the blocking fetch still works
 
+    def _prefetch_item(self, item):
+        """Start the async D2H copies for one pending entry (mega block
+        or per-batch fused outputs)."""
+        if item[0] == "mega":
+            try:
+                item[3].copy_to_host_async()
+            except Exception:
+                pass
+        else:
+            self._prefetch_outputs(item[3], item[5])
+
     def _drain_one(self, results, paths, item):
         """Host-materialize one dispatched fused batch and collate it."""
-        idxs, gspecs, (metrics, ye, ne), n_real, gt_pair = item
+        if item[0] == "mega":
+            return self._drain_mega(results, paths, item)
+        _, idxs, gspecs, (metrics, ye, ne), n_real, gt_pair = item
         marr = np.asarray(metrics)  # [S, 4, B]
         want_audio = ye is not None and (
             self.save_processed_result or gt_pair is not None

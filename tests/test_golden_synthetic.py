@@ -59,26 +59,33 @@ def test_golden_per_speaker(smoke):
 # polyphase subsampling on the same deterministic fixture set.  Any change
 # to filter design/application, the overlap-save path, the resamplers, or
 # the metric kernels moves these.  Keys carry the doubled cutoff + order.
+#
+# Re-pinned after the rfft/irfft pack trick (r4): the half-size packed
+# transform changed the f32 rounding floor in the IIR stop band, moving
+# ONLY the log-domain metrics (lsd/log_sispec, floor-dominated there —
+# PARITY.md deviation 4) by ~0.1 while sispec/ssim stayed equal to 6
+# digits and the filtered waveform stayed within 7.6e-7 of scipy's
+# float64 sosfiltfilt oracle (tests/test_filters.py).
 GOLDEN_FAMILIES = {
     "proc_bw_16000_8_44100": {
-        "lsd": 6.375362, "log_sispec": 6.000253,
-        "sispec": 42.656903, "ssim": 0.619001,
+        "lsd": 6.239049, "log_sispec": 6.125923,
+        "sispec": 42.656927, "ssim": 0.619003,
     },
     "proc_ch_16000_8_44100": {
-        "lsd": 6.710915, "log_sispec": 6.138305,
-        "sispec": 40.906543, "ssim": 0.620319,
+        "lsd": 6.542235, "log_sispec": 6.266384,
+        "sispec": 40.906565, "ssim": 0.620322,
     },
     "proc_el_16000_8_44100": {
-        "lsd": 6.950412, "log_sispec": 6.518303,
-        "sispec": 41.202238, "ssim": 0.614569,
+        "lsd": 6.810665, "log_sispec": 6.611895,
+        "sispec": 41.202256, "ssim": 0.614572,
     },
     "proc_bessel_16000_8_44100": {
-        "lsd": 6.529512, "log_sispec": 7.144262,
-        "sispec": 26.253575, "ssim": 0.531489,
+        "lsd": 6.390809, "log_sispec": 7.295904,
+        "sispec": 26.253575, "ssim": 0.531492,
     },
     "proc_subsampling_16000_44100": {
-        "lsd": 3.389444, "log_sispec": 8.356344,
-        "sispec": 42.388616, "ssim": 0.624253,
+        "lsd": 3.389415, "log_sispec": 8.356409,
+        "sispec": 42.388617, "ssim": 0.624253,
     },
 }
 
