@@ -474,6 +474,108 @@ bool read_file(const char* path, std::vector<uint8_t>& buf) {
   return rd == (size_t)sz;
 }
 
+// ---------------------------------------------------------------------
+// WAV decode (RIFF/WAVE), semantics mirrored from the Python reader
+// (ssr_eval_tpu/io/audio.py read_wav / read_wav_i16): PCM 8/16/24/32 +
+// IEEE float 32/64, WAVE_FORMAT_EXTENSIBLE mapped like the Python path,
+// interleaved output truncated to whole frames, chunk sizes padded to
+// even offsets.  16-bit PCM returns the raw int16 block (kind 0, a
+// straight memcpy — the engine ships it to the device unconverted);
+// everything else converts to float32 in [-1, 1] (kind 1).
+int decode_wav_buf(const uint8_t* buf, size_t size, void** out,
+                   int64_t* n_samples, int* n_channels, int* sample_rate,
+                   int* kind) {
+  if (size < 12 || memcmp(buf, "RIFF", 4) != 0 || memcmp(buf + 8, "WAVE", 4) != 0)
+    return -1;
+  size_t pos = 12;
+  bool have_fmt = false;
+  const uint8_t* data = nullptr;
+  size_t data_size = 0;
+  uint32_t audio_fmt = 0, n_ch = 0, sr = 0, bits = 0;
+  while (pos + 8 <= size) {
+    const uint8_t* cid = buf + pos;
+    uint32_t csize = (uint32_t)buf[pos + 4] | ((uint32_t)buf[pos + 5] << 8) |
+                     ((uint32_t)buf[pos + 6] << 16) | ((uint32_t)buf[pos + 7] << 24);
+    size_t body = pos + 8;
+    size_t avail = size > body ? size - body : 0;
+    size_t blen = csize < avail ? csize : avail;  // tolerate truncation
+    if (memcmp(cid, "fmt ", 4) == 0 && blen >= 16) {
+      audio_fmt = (uint32_t)buf[body] | ((uint32_t)buf[body + 1] << 8);
+      n_ch = (uint32_t)buf[body + 2] | ((uint32_t)buf[body + 3] << 8);
+      sr = (uint32_t)buf[body + 4] | ((uint32_t)buf[body + 5] << 8) |
+           ((uint32_t)buf[body + 6] << 16) | ((uint32_t)buf[body + 7] << 24);
+      bits = (uint32_t)buf[body + 14] | ((uint32_t)buf[body + 15] << 8);
+      have_fmt = true;
+    } else if (memcmp(cid, "data", 4) == 0) {
+      data = buf + body;
+      data_size = blen;
+    }
+    pos += 8 + csize + (csize & 1);
+  }
+  if (!have_fmt || data == nullptr || n_ch == 0) return -2;
+  if (audio_fmt == 0xFFFE) audio_fmt = (bits != 32) ? 1 : 3;
+  *n_channels = (int)n_ch;
+  *sample_rate = (int)sr;
+  if (audio_fmt == 1 && bits == 16) {
+    size_t n_vals = data_size / 2;
+    size_t n_frames = n_vals / n_ch;
+    int16_t* mem = (int16_t*)malloc(n_frames * n_ch * sizeof(int16_t));
+    if (!mem) return -7;
+    memcpy(mem, data, n_frames * n_ch * sizeof(int16_t));
+    *out = mem;
+    *n_samples = (int64_t)n_frames;
+    *kind = 0;
+    return 0;
+  }
+  size_t bytes_per = 0;
+  if (audio_fmt == 1) {
+    if (bits == 8) bytes_per = 1;
+    else if (bits == 24) bytes_per = 3;
+    else if (bits == 32) bytes_per = 4;
+    else return -3;
+  } else if (audio_fmt == 3) {
+    if (bits == 32) bytes_per = 4;
+    else if (bits == 64) bytes_per = 8;
+    else return -3;
+  } else {
+    return -3;
+  }
+  size_t n_vals = data_size / bytes_per;
+  size_t n_frames = n_vals / n_ch;
+  n_vals = n_frames * n_ch;
+  float* mem = (float*)malloc(n_vals * sizeof(float));
+  if (!mem) return -7;
+  if (audio_fmt == 1 && bits == 8) {
+    for (size_t i = 0; i < n_vals; i++)
+      mem[i] = ((float)data[i] - 128.0f) / 128.0f;
+  } else if (audio_fmt == 1 && bits == 24) {
+    for (size_t i = 0; i < n_vals; i++) {
+      const uint8_t* p = data + 3 * i;
+      int32_t v = (int32_t)p[0] | ((int32_t)p[1] << 8) | ((int32_t)p[2] << 16);
+      if (v >= (1 << 23)) v -= (1 << 24);
+      mem[i] = (float)v / 8388608.0f;
+    }
+  } else if (audio_fmt == 1 && bits == 32) {
+    for (size_t i = 0; i < n_vals; i++) {
+      int32_t v;
+      memcpy(&v, data + 4 * i, 4);
+      mem[i] = (float)((double)v / 2147483648.0);
+    }
+  } else if (audio_fmt == 3 && bits == 32) {
+    memcpy(mem, data, n_vals * sizeof(float));
+  } else {  // float64
+    for (size_t i = 0; i < n_vals; i++) {
+      double v;
+      memcpy(&v, data + 8 * i, 8);
+      mem[i] = (float)v;
+    }
+  }
+  *out = mem;
+  *n_samples = (int64_t)n_frames;
+  *kind = 1;
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -518,12 +620,13 @@ int ssrio_encode_flac(const char* path, const float* data, int64_t n_samples,
   return 0;
 }
 
-// Batched parallel decode: n_files FLAC files across C++ worker threads
-// (no Python/GIL on the hot path — one ctypes call decodes a whole
-// engine batch).  Per file i:
+// Batched parallel decode: n_files FLAC or WAV files (sniffed by magic
+// bytes per file) across C++ worker threads (no Python/GIL on the hot
+// path — one ctypes call decodes a whole engine batch).  Per file i:
 //   kinds[i] =  0 -> outs[i] is int16*  (16-bit fast path)
 //   kinds[i] =  1 -> outs[i] is float*  (non-16-bit streams)
-//   kinds[i] <  0 -> decode error rc, outs[i] = NULL
+//   kinds[i] <  0 -> decode error rc, outs[i] = NULL (-101: container
+//                    not recognized)
 // Caller frees each non-NULL outs[i] with ssrio_free.
 int ssrio_decode_batch(const char** paths, int n_files, int n_threads,
                        void** outs, int64_t* n_samples, int* channels,
@@ -544,6 +647,17 @@ int ssrio_decode_batch(const char** paths, int n_files, int n_threads,
       srs[i] = 0;
       std::vector<uint8_t> buf;
       if (!read_file(paths[i], buf)) { kinds[i] = -100; continue; }
+      if (buf.size() >= 4 && memcmp(buf.data(), "RIFF", 4) == 0) {
+        int rc = decode_wav_buf(buf.data(), buf.size(), &outs[i],
+                                &n_samples[i], &channels[i], &srs[i],
+                                &kinds[i]);
+        if (rc != 0) kinds[i] = rc;
+        continue;
+      }
+      if (buf.size() < 4 || memcmp(buf.data(), "fLaC", 4) != 0) {
+        kinds[i] = -101;
+        continue;
+      }
       std::vector<int32_t> pcm;
       int bps = 0;
       int rc = decode_flac_ints(buf.data(), buf.size(), pcm, &n_samples[i],
@@ -573,6 +687,11 @@ int ssrio_decode_batch(const char** paths, int n_files, int n_threads,
 
 void ssrio_free(void* p) { free(p); }
 
-const char* ssrio_version() { return "ssrio 0.1.0"; }
+// Capability probe: present iff ssrio_decode_batch sniffs and decodes
+// RIFF/WAVE containers (older builds were FLAC-only; the Python side
+// keys batch routing off this symbol so a stale .so keeps working).
+int ssrio_batch_wav_supported() { return 1; }
+
+const char* ssrio_version() { return "ssrio 0.2.0"; }
 
 }  // extern "C"

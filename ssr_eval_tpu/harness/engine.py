@@ -420,20 +420,30 @@ class EvalEngine:
     # ------------------------------------------------------------------
 
     def _mega_k(self, have_mp3: bool) -> int:
-        """Effective mega-dispatch group size (0 = disabled).
+        """Effective mega-dispatch group size (0 = disabled — the default,
+        by measurement).
 
-        Through the tunneled runtime every program execution carries a
-        per-call RPC floor (~147 ms marginal measured by bench.py's
-        drain split vs a ~35 ms roofline-ideal device time for the
-        headline program).  Stacking K same-shaped batches and running
-        the fused program under one `lax.map` pays that floor once per K
-        batches instead of once per batch.  Applies only where it is a
-        pure win: device-native testees, metrics-only outputs (no saved
-        audio, no host_float64 ground-truth pairing), no mesh (the mega
-        leading axis would fight the batch sharding axis), and no MP3
-        specs (those need per-batch host prep).  Leftover batches (< K
-        at stream end) go through the ordinary per-batch path, so no
-        padding work and no extra tail-sized programs are compiled."""
+        Hypothesis (r4): the drain split's ~109 ms pipelined marginal per
+        fused call vs the ~28 ms roofline-ideal looked like a per-call
+        tunnel RPC floor, so stacking K same-shaped batches under one
+        `lax.map` program would pay it once per K batches.  Measured
+        REFUTED on the real chip (interleaved A/B, 192 utts, batch 16,
+        K=12, best-of-4): per-batch 2.245 s vs mega 4.067 s — one mega
+        call executes at ~113 ms/batch, i.e. the SAME per-batch cost as
+        the pipelined marginal, proving the marginal is real program
+        execution time (the program runs at ~26% of its HBM roofline),
+        not dispatch overhead — and mega additionally serializes the
+        decode/stage/H2D pipeline behind one long execution.  Kept as an
+        opt-in (SSR_EVAL_TPU_MEGA=K or the ctor kwarg) for
+        high-RPC-latency links; see docs/DESIGN.md "Dead ends".
+
+        When enabled it applies only where semantics allow: device-native
+        testees, metrics-only outputs (no saved audio, no host_float64
+        ground-truth pairing), no mesh (the mega leading axis would fight
+        the batch sharding axis), and no MP3 specs (those need per-batch
+        host prep).  Leftover batches (< K at stream end) go through the
+        ordinary per-batch path, so no padding work and no extra
+        tail-sized programs are compiled."""
         if not self.device_testee or self.mesh is not None:
             return 0
         if self.want_fused_audio or have_mp3:
@@ -443,9 +453,9 @@ class EvalEngine:
             import os
 
             try:
-                k = int(os.environ.get("SSR_EVAL_TPU_MEGA", "12"))
+                k = int(os.environ.get("SSR_EVAL_TPU_MEGA", "0"))
             except ValueError:
-                k = 12
+                k = 0
         k = int(k)
         return k if k > 1 else 0
 
@@ -643,24 +653,32 @@ class EvalEngine:
         yield from self._accumulate_batches(pool_items())
 
     @staticmethod
-    def _is_flac(p):
+    def _sniff_magic(p):
         try:
             with open(p, "rb") as f:
-                return f.read(4) == b"fLaC"
+                return f.read(4)
         except OSError:
-            return False
+            return b""
 
     def _native_stream_batches(self, paths):
         """Generator over batches via the native C++ batch decoder, or
-        None when unavailable or any file is not genuinely FLAC (content
-        sniff, not extension — a misnamed WAV must keep decoding through
-        the per-file magic-dispatching path)."""
-        if not paths or not all(self._is_flac(p) for p in paths):
+        None when unavailable or any file is not a container the built
+        library handles (content sniff, not extension — a misnamed file
+        of another type must keep decoding through the per-file
+        magic-dispatching path).  FLAC always qualifies when the batch
+        API exists; WAV additionally needs the r4+ library
+        (flac_native.HAS_WAV_BATCH)."""
+        if not paths:
             return None
         try:
             from ssr_eval_tpu.io import flac_native
 
             if not flac_native.HAS_BATCH:
+                return None
+            magics = {b"fLaC"}
+            if flac_native.HAS_WAV_BATCH:
+                magics.add(b"RIFF")
+            if not all(self._sniff_magic(p) in magics for p in paths):
                 return None
         except Exception:
             return None

@@ -48,6 +48,9 @@ _lib.ssrio_free.argtypes = [ctypes.c_void_p]
 # Optional symbol: a libssrio.so built before the batch API must not
 # break the per-file fast paths — only decode_batch degrades.
 HAS_BATCH = hasattr(_lib, "ssrio_decode_batch")
+# WAV batch decode arrived later still (r4); a FLAC-only .so keeps
+# serving FLAC batches while WAV corpora fall back to the Python pool.
+HAS_WAV_BATCH = HAS_BATCH and hasattr(_lib, "ssrio_batch_wav_supported")
 if HAS_BATCH:
     _lib.ssrio_decode_batch.restype = ctypes.c_int
     _lib.ssrio_decode_batch.argtypes = [

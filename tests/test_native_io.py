@@ -166,3 +166,85 @@ def test_engine_native_batch_path_equivalence(native, tmp_path, monkeypatch):
         for key in r_python[p]:
             for m, v in r_python[p][key].items():
                 assert r_native[p][key][m] == v, (p, key, m)
+
+def test_batch_decode_wav_formats(native, tmp_path):
+    """WAV containers (r4): the native batch decoder must return exactly
+    what the Python reader returns for PCM16 mono/stereo, IEEE float32,
+    and PCM24 — including the int16 fast path for PCM16."""
+    import struct
+
+    from ssr_eval_tpu.io.audio import read_wav, read_wav_i16, write_wav
+
+    if not native.HAS_WAV_BATCH:
+        pytest.skip("libssrio built without WAV batch support")
+    x = _sig(5000, seed=7)
+    paths = []
+    p = str(tmp_path / "m16.wav"); write_wav(p, x, 44100); paths.append(p)
+    p = str(tmp_path / "s16.wav")
+    write_wav(p, np.stack([x, -0.5 * x], 1), 22050); paths.append(p)
+    p = str(tmp_path / "f32.wav"); write_wav(p, x, 16000, subtype="FLOAT")
+    paths.append(p)
+    # PCM24 (no writer helper: hand-rolled container)
+    v = np.clip((x * 8388608).astype(np.int64), -8388608, 8388607)
+    u = v & 0xFFFFFF
+    b = np.zeros((len(v), 3), np.uint8)
+    b[:, 0], b[:, 1], b[:, 2] = u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF
+    data = b.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 48000, 48000 * 3, 3, 24)
+    hdr += b"data" + struct.pack("<I", len(data))
+    p = str(tmp_path / "p24.wav")
+    open(p, "wb").write(hdr + data); paths.append(p)
+
+    batch = native.decode_batch(paths, n_threads=2)
+    for path, (arr, sr) in zip(paths, batch):
+        ref = read_wav_i16(path)
+        if ref is not None:
+            xr, srr = ref
+            assert arr.dtype == np.int16
+            np.testing.assert_array_equal(np.asarray(arr), xr)
+        else:
+            xr, srr = read_wav(path)
+            assert arr.dtype == np.float32
+            np.testing.assert_allclose(np.asarray(arr), xr, atol=1e-7)
+        assert sr == srr, path
+
+
+def test_engine_native_batch_path_wav_and_mixed(native, tmp_path, monkeypatch):
+    """All-WAV and mixed WAV+FLAC corpora ride the native batch decoder
+    with metrics identical to the Python pool path."""
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.harness.fixtures import speechlike
+    from ssr_eval_tpu.harness.testee import BatchedTestee
+    from ssr_eval_tpu.io.audio import write_flac, write_wav
+
+    if not native.HAS_WAV_BATCH:
+        pytest.skip("libssrio built without WAV batch support")
+    paths = []
+    for i in range(5):
+        x = speechlike(0.3, 16000, seed=70 + i)
+        if i % 2:
+            p = str(tmp_path / f"u{i}.flac")
+            write_flac(p, x[:, None], 16000)
+        else:
+            p = str(tmp_path / f"u{i}.wav")
+            write_wav(p, x, 16000)
+        paths.append(p)
+    specs = expand_settings(setting_fft={"cutoff_freq": [4000]}, sr=16000)
+
+    def run():
+        eng = EvalEngine(
+            specs, input_sr=16000, output_sr=16000, evaluation_sr=16000,
+            testee=BatchedTestee(), batch_size=2,
+        )
+        return eng.evaluate_files(paths), eng
+
+    monkeypatch.setenv("SSR_EVAL_TPU_NATIVE_BATCH", "1")
+    r_native, eng_n = run()
+    monkeypatch.setenv("SSR_EVAL_TPU_NATIVE_BATCH", "0")
+    r_python, _ = run()
+    for p in paths:
+        for key in r_python[p]:
+            for m, v in r_python[p][key].items():
+                assert r_native[p][key][m] == v, (p, key, m)
