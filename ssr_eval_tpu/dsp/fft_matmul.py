@@ -4,7 +4,8 @@ XLA's generic FFT lowering is slow on TPU, and a dense rDFT matmul does
 n_fft * n_bins MACs per frame (the round-1 design).  This module factors a
 power-of-2 FFT as
 
-    N = 2^L * M   (M = 128: one perfect MXU tile)
+    N = 2^L * M   (M = the MXU base width, default 256 — see
+    _default_base for the measured 128/256/512/1024 A/B)
 
 - the 2^L interleaved leaf sequences (bit-reversed order) go through ONE
   batched [*, M] @ [M, M] DFT matmul pair (cos/sin), a shape the 128x128
@@ -31,19 +32,44 @@ deliberately keeps jnp.fft for its ~1M-point transforms.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-_BASE = 128
+
+def _default_base() -> int:
+    """MXU base-DFT width: each radix-2 level above the base is one full
+    re+im HBM read+write pass over the frame block, so a wider base
+    trades (cheap, MXU) matmul FLOPs for (scarce) HBM passes.  Default
+    256 by interleaved A/B on the real chip (fused headline program,
+    synced call, stable to ~1 ms across rounds): 128->140 ms,
+    256->131 ms, 512->185 ms, 1024->155 ms — past 256 the HIGHEST-
+    precision base matmul's FLOPs (linear in base) overtake the saved
+    butterfly passes.  SSR_EVAL_TPU_CT_BASE overrides for A/B."""
+    try:
+        b = int(os.environ.get("SSR_EVAL_TPU_CT_BASE", "256") or "256")
+    except ValueError:
+        b = 256
+    return b if b in (128, 256, 512, 1024) else 256
+
+
+_BASE = _default_base()
 _HI = jax.lax.Precision.HIGHEST
 
 
-def ct_levels(n_fft: int, base: int = _BASE):
+def ct_levels(n_fft: int, base: int | None = None):
     """Number of radix-2 levels L with n_fft = 2^L * base, or None if the
-    factorization does not apply (non-pow2 or n_fft < base)."""
+    factorization does not apply (non-pow2 or n_fft < base).
+
+    base=None resolves the module default at CALL time (not def time), so
+    tests and A/B harnesses can flip `fft_matmul._BASE` between traces."""
+    if base is None:
+        base = _BASE
+    if 128 <= n_fft < base and (n_fft & (n_fft - 1)) == 0:
+        base = n_fft  # small pow2: one base matmul, no levels
     L = 0
     n = n_fft
     while n > base and n % 2 == 0:
@@ -114,7 +140,7 @@ def _combine(re, im, L: int, M: int):
     return re.reshape(*lead, P), im.reshape(*lead, P)
 
 
-def fft_ct(zr: jnp.ndarray, zi, n_fft: int, base: int = _BASE):
+def fft_ct(zr: jnp.ndarray, zi, n_fft: int, base: int | None = None):
     """Forward complex FFT of [..., n_fft] -> (real, imag) [..., n_fft].
 
     zi=None treats the input as real (halves the base matmuls)."""
@@ -146,7 +172,7 @@ def _pack_twiddle(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
-def rfft_ct(x: jnp.ndarray, n_fft: int, base: int = _BASE):
+def rfft_ct(x: jnp.ndarray, n_fft: int, base: int | None = None):
     """Real-input FFT -> (real, imag) [..., n_fft//2 + 1].
 
     Real inputs pack into an n_fft/2-point COMPLEX transform
@@ -177,7 +203,7 @@ def rfft_ct(x: jnp.ndarray, n_fft: int, base: int = _BASE):
     return ar + wr * br - wi * bi, ai + wr * bi + wi * br
 
 
-def irfft_ct(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, base: int = _BASE):
+def irfft_ct(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, base: int | None = None):
     """Inverse of rfft_ct: hermitian half-spectrum [..., n_fft//2+1] ->
     real signal [..., n_fft].
 

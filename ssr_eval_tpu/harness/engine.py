@@ -300,11 +300,12 @@ class EvalEngine:
 
                 # Degrade: lax.map over the spec axis (traced once, looped
                 # on device — vmapping it S-fold multiplies the HLO and
-                # explodes XLA compile time).
+                # explodes XLA compile time; re-measured r4 on the real
+                # chip: vmapping both spec loops compiled in 325 s vs 9 s
+                # and ran no faster — docs/DESIGN.md "Dead ends").
+                deg_inner = jax.vmap(deg_apply, in_axes=(ctx_axis, 0, 0, None))
                 d_all = jax.lax.map(
-                    lambda params: jax.vmap(
-                        deg_apply, in_axes=(ctx_axis, 0, 0, None)
-                    )(ctx, x_in, n_in, params),
+                    lambda params: deg_inner(ctx, x_in, n_in, params),
                     params_stacked,
                 )  # [S, B, Lin]
 

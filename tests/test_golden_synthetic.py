@@ -60,32 +60,34 @@ def test_golden_per_speaker(smoke):
 # to filter design/application, the overlap-save path, the resamplers, or
 # the metric kernels moves these.  Keys carry the doubled cutoff + order.
 #
-# Re-pinned after the rfft/irfft pack trick (r4): the half-size packed
-# transform changed the f32 rounding floor in the IIR stop band, moving
-# ONLY the log-domain metrics (lsd/log_sispec, floor-dominated there —
-# PARITY.md deviation 4) by ~0.1 while sispec/ssim stayed equal to 6
-# digits and the filtered waveform stayed within 7.6e-7 of scipy's
-# float64 sosfiltfilt oracle (tests/test_filters.py).
+# Re-pinned after the rfft/irfft pack trick (r4) and again after the CT
+# base-width default moved 128 -> 256 (r4, fft_matmul._default_base):
+# each FFT refactor changes the f32 rounding floor in the IIR stop band,
+# moving ONLY the log-domain metrics (lsd/log_sispec, floor-dominated
+# there — PARITY.md deviation 4) by ~0.1 while sispec/ssim stay equal to
+# 6 digits and the filtered waveform stays within 7.6e-7 of scipy's
+# float64 sosfiltfilt oracle (tests/test_filters.py; the full
+# degrade/filters/fuzz oracle suite passed unchanged at both pins).
 GOLDEN_FAMILIES = {
     "proc_bw_16000_8_44100": {
-        "lsd": 6.239049, "log_sispec": 6.125923,
-        "sispec": 42.656927, "ssim": 0.619003,
+        "lsd": 6.096744, "log_sispec": 6.233191,
+        "sispec": 42.656972, "ssim": 0.619008,
     },
     "proc_ch_16000_8_44100": {
-        "lsd": 6.542235, "log_sispec": 6.266384,
-        "sispec": 40.906565, "ssim": 0.620322,
+        "lsd": 6.371809, "log_sispec": 6.365864,
+        "sispec": 40.906601, "ssim": 0.620328,
     },
     "proc_el_16000_8_44100": {
-        "lsd": 6.810665, "log_sispec": 6.611895,
-        "sispec": 41.202256, "ssim": 0.614572,
+        "lsd": 6.623113, "log_sispec": 6.701278,
+        "sispec": 41.202301, "ssim": 0.614578,
     },
     "proc_bessel_16000_8_44100": {
-        "lsd": 6.390809, "log_sispec": 7.295904,
-        "sispec": 26.253575, "ssim": 0.531492,
+        "lsd": 6.248671, "log_sispec": 7.422061,
+        "sispec": 26.253576, "ssim": 0.531496,
     },
     "proc_subsampling_16000_44100": {
-        "lsd": 3.389415, "log_sispec": 8.356409,
-        "sispec": 42.388617, "ssim": 0.624253,
+        "lsd": 3.38936, "log_sispec": 8.356565,
+        "sispec": 42.388618, "ssim": 0.624253,
     },
 }
 

@@ -139,20 +139,25 @@ def test_fdomain_subband():
 
 
 def test_ct_fft_matches_numpy_rfft():
+    """Every supported MXU base width (128/256/512/1024, plus the module
+    default) must agree with numpy — the base is a perf knob
+    (fft_matmul._default_base), never a semantics knob.  Sizes smaller
+    than the base take the capped single-matmul path (ct_levels)."""
     import numpy as np
     import jax.numpy as jnp
 
     from ssr_eval_tpu.dsp.fft_matmul import ct_levels, rfft_ct
 
     rng = np.random.default_rng(0)
-    for n in (128, 256, 1024, 2048):
-        assert ct_levels(n) is not None
-        x = rng.standard_normal((2, 5, n)).astype(np.float32)
-        re, im = rfft_ct(jnp.asarray(x), n)
-        ref = np.fft.rfft(x.astype(np.float64), axis=-1)
-        scale = np.abs(ref).max()
-        assert np.max(np.abs(np.asarray(re) - ref.real)) / scale < 1e-6
-        assert np.max(np.abs(np.asarray(im) - ref.imag)) / scale < 1e-6
+    for base in (None, 128, 256, 512, 1024):
+        for n in (128, 256, 1024, 2048):
+            assert ct_levels(n, base) is not None, (n, base)
+            x = rng.standard_normal((2, 5, n)).astype(np.float32)
+            re, im = rfft_ct(jnp.asarray(x), n, base)
+            ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+            scale = np.abs(ref).max()
+            assert np.max(np.abs(np.asarray(re) - ref.real)) / scale < 1e-6
+            assert np.max(np.abs(np.asarray(im) - ref.imag)) / scale < 1e-6
 
 
 def test_ct_irfft_roundtrip():
