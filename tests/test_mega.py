@@ -110,11 +110,13 @@ def test_mega_gating(tmp_path):
     assert (
         _engine(specs, mega=4, metrics_backend="host_float64")._mega_k(False) == 0
     )
-    # env default applies when the ctor leaves it None
+    # env applies when the ctor leaves it None; default is OFF (the
+    # on-chip A/B measured mega equal per-batch and worse end-to-end —
+    # docs/DESIGN.md "Dead ends")
     eng = _engine(specs, mega=None)
     old = os.environ.pop("SSR_EVAL_TPU_MEGA", None)
     try:
-        assert eng._mega_k(False) == 12
+        assert eng._mega_k(False) == 0
         os.environ["SSR_EVAL_TPU_MEGA"] = "3"
         assert eng._mega_k(False) == 3
         os.environ["SSR_EVAL_TPU_MEGA"] = "0"
