@@ -121,12 +121,49 @@ def _leaves(x: jnp.ndarray, L: int, M: int) -> jnp.ndarray:
 
 
 def _combine(re, im, L: int, M: int):
-    """L radix-2 butterfly levels over [..., 2^L, M] -> [..., N]."""
+    """L butterfly levels over [..., 2^L, M] -> [..., N].
+
+    Levels run radix-4 (two radix-2 levels fused algebraically) while at
+    least two remain, then one radix-2 for odd L.  Each level is a full
+    re+im HBM read+write pass over the frame block and the fused sweep is
+    transform-pass bound (drain split, BENCH_DETAIL), so halving the
+    level count halves the dominant traffic term; FLOPs are unchanged
+    (VPU elementwise either way).  Two radix-2 levels on bit-reversed
+    leaves combine adjacent quads, so the fusion is exact:
+      X[0:P]=a+w2a*c, X[P:2P]=b+w2b*d, X[2P:3P]=a-w2a*c, X[3P:4P]=b-w2b*d
+    with a,b = l0 +- w1*l1 and c,d = l2 +- w1*l3 (w1 over P, w2 over 2P).
+    """
     G, P = 1 << L, M
     lead = re.shape[:-2]
-    for _ in range(L):
-        re = re.reshape(*lead, G // 2, 2, P)
-        im = im.reshape(*lead, G // 2, 2, P)
+    while G >= 4:
+        re = re.reshape(*lead, G // 4, 4, P)
+        im = im.reshape(*lead, G // 4, 4, P)
+        l0r, l1r, l2r, l3r = (re[..., j, :] for j in range(4))
+        l0i, l1i, l2i, l3i = (im[..., j, :] for j in range(4))
+        w1r_np, w1i_np = _twiddle(P)
+        w2r_np, w2i_np = _twiddle(2 * P)
+        w1r, w1i = jnp.asarray(w1r_np), jnp.asarray(w1i_np)
+        w2ar, w2ai = jnp.asarray(w2r_np[:P]), jnp.asarray(w2i_np[:P])
+        w2br, w2bi = jnp.asarray(w2r_np[P:]), jnp.asarray(w2i_np[P:])
+        t1r = w1r * l1r - w1i * l1i
+        t1i = w1r * l1i + w1i * l1r
+        t3r = w1r * l3r - w1i * l3i
+        t3i = w1r * l3i + w1i * l3r
+        ar, ai = l0r + t1r, l0i + t1i
+        br, bi = l0r - t1r, l0i - t1i
+        cr, ci = l2r + t3r, l2i + t3i
+        dr, di = l2r - t3r, l2i - t3i
+        ur = w2ar * cr - w2ai * ci
+        ui = w2ar * ci + w2ai * cr
+        vr = w2br * dr - w2bi * di
+        vi = w2br * di + w2bi * dr
+        re = jnp.concatenate([ar + ur, br + vr, ar - ur, br - vr], axis=-1)
+        im = jnp.concatenate([ai + ui, bi + vi, ai - ui, bi - vi], axis=-1)
+        G //= 4
+        P *= 4
+    if G == 2:
+        re = re.reshape(*lead, 1, 2, P)
+        im = im.reshape(*lead, 1, 2, P)
         e_re, o_re = re[..., 0, :], re[..., 1, :]
         e_im, o_im = im[..., 0, :], im[..., 1, :]
         twr_np, twi_np = _twiddle(P)
@@ -135,7 +172,6 @@ def _combine(re, im, L: int, M: int):
         t_im = twr * o_im + twi * o_re
         re = jnp.concatenate([e_re + t_re, e_re - t_re], axis=-1)
         im = jnp.concatenate([e_im + t_im, e_im - t_im], axis=-1)
-        G //= 2
         P *= 2
     return re.reshape(*lead, P), im.reshape(*lead, P)
 

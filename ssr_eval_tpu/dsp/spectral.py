@@ -262,6 +262,34 @@ def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     return out[:total]
 
 
+@functools.lru_cache(maxsize=32)
+def _wss_semi_infinite(n_fft: int, hop: int, win_len: int, total: int) -> np.ndarray:
+    """W[u] = sum_{f>=0} win2[u - f*hop] over u in [0, total), f64 -> f32.
+
+    Enough frames are summed that no frame starting beyond `total` is
+    truncated, so for any valid-frame count nf the exact masked
+    window-sum-square of the OLA buffer is the two-term difference
+        wss[j] = W[j] - W[j - nf*hop]   (second term 0 for j < nf*hop):
+    the subtraction cancels every frame f >= nf exactly.  This replaces
+    materializing + overlap-adding a [max_frames, n_fft] mask*win2 block
+    per iSTFT call (a full extra pass over frame-block-sized data in a
+    transform-pass-bound program) with two reads of a [total] constant.
+    """
+    win = hann_window(win_len).astype(np.float64)
+    if win_len < n_fft:
+        lpad = (n_fft - win_len) // 2
+        win = np.pad(win, (lpad, n_fft - win_len - lpad))
+    w2 = win * win
+    W = np.zeros(total, dtype=np.float64)
+    for f in range(-(-total // hop) + 1):
+        lo = f * hop
+        if lo >= total:
+            break
+        hi = min(lo + n_fft, total)
+        W[lo:hi] += w2[: hi - lo]
+    return W.astype(np.float32)
+
+
 def istft(
     real: jnp.ndarray,
     imag: jnp.ndarray,
@@ -307,10 +335,14 @@ def istft(
     ola = _overlap_add(fr, cfg.hop)
     # Window-sum-square must count only the valid frames (< nf) or the tail
     # of a bucketed signal is normalized as if ghost frames contributed.
+    # Closed form (see _wss_semi_infinite): wss = W - shift(W, nf*hop).
     nf = n_frames_for_length(cfg, length)
-    fmask = (jnp.arange(max_frames) < nf).astype(fr.dtype)
-    w2 = jnp.asarray((win * win).astype(np.float32))
-    wss = _overlap_add(fmask[:, None] * w2[None, :], cfg.hop)
+    total = int(ola.shape[0])
+    Wnp = _wss_semi_infinite(cfg.n_fft, cfg.hop, cfg.win, total)
+    W = jnp.asarray(Wnp)
+    Wpad = jnp.asarray(np.concatenate([np.zeros(total, np.float32), Wnp]))
+    shift = total - nf * cfg.hop
+    wss = W - jax.lax.dynamic_slice(Wpad, (shift,), (total,))
     ola = jnp.where(wss > 1e-10, ola / jnp.where(wss > 1e-10, wss, 1.0), ola)
     y = ola[cfg.pad : cfg.pad + out_len]
     if y.shape[0] < out_len:

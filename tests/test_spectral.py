@@ -193,3 +193,33 @@ def test_frame_slabs_equals_gather():
     got = np.asarray(frame_slabs(jnp.asarray(ext), hop, n_fft, mf))
     want = np.stack([ext[i * hop : i * hop + n_fft] for i in range(mf)])
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("cfg", CFGS)
+@pytest.mark.parametrize("frac", [1.0, 0.61, 0.13, 0.0])
+def test_wss_closed_form_matches_masked_ola(cfg, frac):
+    """istft's window-sum-square closed form (W[j] - W[j - nf*hop] over
+    the cumulative window-energy array) == the direct masked OLA of
+    win^2 for every valid-frame count, including nf=0 and nf=max."""
+    from ssr_eval_tpu.dsp.spectral import (
+        _overlap_add,
+        _wss_semi_infinite,
+        hann_window,
+    )
+
+    L = 12000
+    mf = cfg.max_frames(L)
+    nf = int(round(frac * mf))
+    win = hann_window(cfg.win).astype(np.float64)
+    if cfg.win < cfg.n_fft:
+        lpad = (cfg.n_fft - cfg.win) // 2
+        win = np.pad(win, (lpad, cfg.n_fft - cfg.win - lpad))
+    # direct construction: OLA of fmask * win^2 (the pre-r4 kernel)
+    fmask = (np.arange(mf) < nf).astype(np.float32)[:, None]
+    w2 = (win * win).astype(np.float32)[None, :]
+    ref = np.asarray(_overlap_add(jnp.asarray(fmask * w2), cfg.hop))
+    total = ref.shape[0]
+    W = _wss_semi_infinite(cfg.n_fft, cfg.hop, cfg.win, total)
+    Wpad = np.concatenate([np.zeros(total, np.float32), W])
+    got = W - Wpad[total - nf * cfg.hop : 2 * total - nf * cfg.hop]
+    np.testing.assert_allclose(got, ref, atol=2e-6)
