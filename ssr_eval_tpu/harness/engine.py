@@ -274,8 +274,14 @@ class EvalEngine:
             mf = cfg.max_frames(lgt)
             infer_batch = self.testee.infer_batch
 
-            from ssr_eval_tpu.dsp.spectral import stft_magnitude
-            from ssr_eval_tpu.metrics.kernels import spectral_metrics_with_target
+            from ssr_eval_tpu.dsp.spectral import (
+                n_frames_for_length as _nf_for_len,
+                stft_magnitude,
+            )
+            from ssr_eval_tpu.metrics.kernels import (
+                spectral_metrics_with_target,
+                ssim_target_moments,
+            )
 
             def pipeline(x_nat, len_nat, params_stacked, testee_state):
                 if x_nat.dtype == jnp.int16:
@@ -286,9 +292,16 @@ class EvalEngine:
                     xg, ng = apply_resample(x, n, gt_plan, lgt, Wg)
                     ml = jnp.minimum(ratio_plan.out_length(ni), ng)
                     tgt_sp = stft_magnitude(xg, ml, cfg, mf)
-                    return xi, ni, tgt_sp, ml
+                    # Target-only SSIM box moments, shared across specs
+                    # (see ssim_target_moments).
+                    nf = _nf_for_len(cfg, ml)
+                    m2 = (jnp.arange(mf) < nf).astype(tgt_sp.dtype)[:, None]
+                    uy, uyy = ssim_target_moments(tgt_sp * m2)
+                    return xi, ni, tgt_sp, ml, uy, uyy
 
-                x_in, n_in, tgt_sp, min_len = jax.vmap(prep)(x_nat, len_nat)
+                x_in, n_in, tgt_sp, min_len, t_uy, t_uyy = jax.vmap(prep)(
+                    x_nat, len_nat
+                )
                 # Spec-independent degradation work runs ONCE per
                 # utterance (e.g. the fft family's forward STFT) and is
                 # shared across the stacked spec axis below.
@@ -357,12 +370,16 @@ class EvalEngine:
                 def score_spec(args):
                     y, ny = args
 
-                    def score(yy, nyy, sp, ml):
+                    def score(yy, nyy, sp, ml, uy, uyy):
                         ye, ne = apply_resample(yy, nyy, out_plan, leval, Wo)
-                        m = spectral_metrics_with_target(ye, ml, sp, cfg, mf)
+                        m = spectral_metrics_with_target(
+                            ye, ml, sp, cfg, mf, tgt_ssim_moments=(uy, uyy)
+                        )
                         return m, ye, ne
 
-                    m, ye, ne = jax.vmap(score)(y, ny, tgt_sp, min_len)
+                    m, ye, ne = jax.vmap(score)(
+                        y, ny, tgt_sp, min_len, t_uy, t_uyy
+                    )
                     # one [4, B] array per spec -> a single host transfer
                     # per batch instead of one RPC per metric key
                     mstack = jnp.stack([m[k] for k in METRIC_KEYS])

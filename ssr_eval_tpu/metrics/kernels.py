@@ -71,6 +71,10 @@ def _box_valid_means(a, win):
     Uses reduce_window (local sums) rather than integral-image cumsums:
     global cumulative sums in f32 lose ~1e-7 * total relative precision,
     which annihilates the tiny variances of masked high-band regions.
+    Kept as ONE 2-D window: the seemingly-cheaper separable
+    (win,1)+(1,win) split measured +3.7 ms/call SLOWER on the fused
+    headline program (interleaved A/B, r4) — the sublane-dim window pass
+    forces retiling that outweighs the 49->14 adds/point saving.
     """
     s = jax.lax.reduce_window(
         a,
@@ -83,14 +87,27 @@ def _box_valid_means(a, win):
     return s / (win * win)
 
 
-def _ssim(est_sp, tgt_sp, n_frames):
+def ssim_target_moments(tgt_m):
+    """Precomputed SSIM box moments (uy, uyy) of a masked target
+    spectrogram.  They depend only on the target, so a sweep evaluation
+    computes them once per utterance and shares them across every
+    degradation spec (2 of the 5 box sums; the device trace shows the
+    per-spec recompute as pure waste)."""
+    win = SSIM_WIN
+    return _box_valid_means(tgt_m, win), _box_valid_means(tgt_m * tgt_m, win)
+
+
+def _ssim(est_sp, tgt_sp, n_frames, tgt_moments=None):
     """Mean SSIM over valid window positions (t < n_frames - win + 1)."""
     win = SSIM_WIN
     X, Y = est_sp, tgt_sp
     ux = _box_valid_means(X, win)
-    uy = _box_valid_means(Y, win)
+    if tgt_moments is None:
+        uy = _box_valid_means(Y, win)
+        uyy = _box_valid_means(Y * Y, win)
+    else:
+        uy, uyy = tgt_moments
     uxx = _box_valid_means(X * X, win)
-    uyy = _box_valid_means(Y * Y, win)
     uxy = _box_valid_means(X * Y, win)
     NP = win * win
     cov_norm = NP / (NP - 1)
@@ -108,13 +125,17 @@ def _ssim(est_sp, tgt_sp, n_frames):
     return jnp.sum(S * mask) / count
 
 
-def spectral_metrics_with_target(est, min_len, tgt_sp, cfg: StftConfig, max_frames: int):
+def spectral_metrics_with_target(
+    est, min_len, tgt_sp, cfg: StftConfig, max_frames: int, tgt_ssim_moments=None
+):
     """Metrics of `est` against a precomputed target spectrogram.
 
     `tgt_sp` must be the magnitude STFT of the target truncated to the
     same `min_len` (see `spectral_metrics`).  Splitting the target out
     lets sweep evaluations compute it once per utterance and share it
-    across every degradation spec.
+    across every degradation spec; `tgt_ssim_moments` optionally shares
+    the target's SSIM box moments (`ssim_target_moments(tgt_sp * m2)`)
+    the same way.
     """
     est_sp = stft_magnitude(est, min_len, cfg, max_frames)
 
@@ -129,7 +150,7 @@ def spectral_metrics_with_target(est, min_len, tgt_sp, cfg: StftConfig, max_fram
         "lsd": _lsd(est_sp, tgt_sp, fmask),
         "log_sispec": _sispec(_to_log(est_sp) * m2, _to_log(tgt_sp) * m2),
         "sispec": _sispec(est_m, tgt_m),
-        "ssim": _ssim(est_m, tgt_m, nf),
+        "ssim": _ssim(est_m, tgt_m, nf, tgt_ssim_moments),
     }
 
 
