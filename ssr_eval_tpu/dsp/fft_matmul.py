@@ -109,37 +109,43 @@ def _twiddle(P: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _leaves(x: jnp.ndarray, L: int, M: int) -> jnp.ndarray:
-    """[..., N] -> [..., 2^L, M] leaf sequences in bit-reversed order.
+    """[..., N] -> [..., 2^L, M] leaf sequences in NATURAL order.
 
-    Leaf r holds x[r::2^L]; the combine tree consumes leaves in
-    bit-reversed order (standard iterative radix-2 DIT)."""
+    Leaf g holds x[g::2^L].  The classic iterative radix-2 DIT gathers
+    leaves into bit-reversed order so every level combines adjacent
+    pairs; `_combine` instead pairs groups by major-half slicing
+    ((g, g+G/2) at each level), which is the same butterfly tree without
+    the bitrev gather — a measured 3.7 ms/call of pure data movement in
+    the fused headline program (device trace, r4)."""
     G = 1 << L
     lead = x.shape[:-1]
     xt = x.reshape(*lead, M, G)
-    xt = jnp.swapaxes(xt, -1, -2)  # [..., G, M], axis -2 indexed by r
-    return jnp.take(xt, jnp.asarray(_bitrev(L)), axis=-2)
+    return jnp.swapaxes(xt, -1, -2)  # [..., G, M], axis -2 indexed by g
 
 
 def _combine(re, im, L: int, M: int):
-    """L butterfly levels over [..., 2^L, M] -> [..., N].
+    """L butterfly levels over [..., 2^L, M] (natural leaf order) -> [..., N].
 
     Levels run radix-4 (two radix-2 levels fused algebraically) while at
     least two remain, then one radix-2 for odd L.  Each level is a full
     re+im HBM read+write pass over the frame block and the fused sweep is
     transform-pass bound (drain split, BENCH_DETAIL), so halving the
     level count halves the dominant traffic term; FLOPs are unchanged
-    (VPU elementwise either way).  Two radix-2 levels on bit-reversed
-    leaves combine adjacent quads, so the fusion is exact:
+    (VPU elementwise either way).  With natural-order leaves each level
+    pairs (g, g+G/2) — major-half plane slices, no bitrev gather — and a
+    radix-4 level consumes the quad (g, g+G/4, g+G/2, g+3G/4) as planes
+    (0, 2, 1, 3) of the [4, G/4, P] major split:
       X[0:P]=a+w2a*c, X[P:2P]=b+w2b*d, X[2P:3P]=a-w2a*c, X[3P:4P]=b-w2b*d
-    with a,b = l0 +- w1*l1 and c,d = l2 +- w1*l3 (w1 over P, w2 over 2P).
+    with a,b = l0 +- w1*l1 and c,d = l2 +- w1*l3 (w1 over P, w2 over 2P),
+    l0..l3 = leaves (g, g+G/2, g+G/4, g+3G/4).
     """
     G, P = 1 << L, M
     lead = re.shape[:-2]
     while G >= 4:
-        re = re.reshape(*lead, G // 4, 4, P)
-        im = im.reshape(*lead, G // 4, 4, P)
-        l0r, l1r, l2r, l3r = (re[..., j, :] for j in range(4))
-        l0i, l1i, l2i, l3i = (im[..., j, :] for j in range(4))
+        re = re.reshape(*lead, 4, G // 4, P)
+        im = im.reshape(*lead, 4, G // 4, P)
+        l0r, l1r, l2r, l3r = (re[..., j, :, :] for j in (0, 2, 1, 3))
+        l0i, l1i, l2i, l3i = (im[..., j, :, :] for j in (0, 2, 1, 3))
         w1r_np, w1i_np = _twiddle(P)
         w2r_np, w2i_np = _twiddle(2 * P)
         w1r, w1i = jnp.asarray(w1r_np), jnp.asarray(w1i_np)
