@@ -182,21 +182,15 @@ def _combine(re, im, L: int, M: int):
     return re.reshape(*lead, P), im.reshape(*lead, P)
 
 
-def fft_ct(zr: jnp.ndarray, zi, n_fft: int, base: int | None = None):
-    """Forward complex FFT of [..., n_fft] -> (real, imag) [..., n_fft].
-
-    zi=None treats the input as real (halves the base matmuls)."""
-    L = ct_levels(n_fft, base)
-    assert L is not None, n_fft
-    M = n_fft >> L
+def _fft_from_leaves(lr, li, L: int, M: int):
+    """Base-DFT matmuls + combine over prebuilt [..., 2^L, M] leaves
+    (natural order; li=None for real leaves)."""
     cr_np, ci_np = _base_dft(M)
     cr, ci = jnp.asarray(cr_np), jnp.asarray(ci_np)
-    lr = _leaves(zr, L, M)
-    if zi is None:
+    if li is None:
         re = jnp.dot(lr, cr, preferred_element_type=jnp.float32, precision=_HI)
         im = jnp.dot(lr, ci, preferred_element_type=jnp.float32, precision=_HI)
     else:
-        li = _leaves(zi, L, M)
         re = jnp.dot(lr, cr, preferred_element_type=jnp.float32, precision=_HI) - jnp.dot(
             li, ci, preferred_element_type=jnp.float32, precision=_HI
         )
@@ -204,6 +198,18 @@ def fft_ct(zr: jnp.ndarray, zi, n_fft: int, base: int | None = None):
             li, cr, preferred_element_type=jnp.float32, precision=_HI
         )
     return _combine(re, im, L, M)
+
+
+def fft_ct(zr: jnp.ndarray, zi, n_fft: int, base: int | None = None):
+    """Forward complex FFT of [..., n_fft] -> (real, imag) [..., n_fft].
+
+    zi=None treats the input as real (halves the base matmuls)."""
+    L = ct_levels(n_fft, base)
+    assert L is not None, n_fft
+    M = n_fft >> L
+    lr = _leaves(zr, L, M)
+    li = None if zi is None else _leaves(zi, L, M)
+    return _fft_from_leaves(lr, li, L, M)
 
 
 @functools.lru_cache(maxsize=16)
@@ -228,6 +234,11 @@ def rfft_ct(x: jnp.ndarray, n_fft: int, base: int | None = None):
         re, im = fft_ct(x, None, n_fft, base)
         nb = n_fft // 2 + 1
         return re[..., :nb], im[..., :nb]
+    # Dead end (r4): folding this even/odd pack into the leaves reshape
+    # (one [..., M, 2G] view, even/odd planes of the second-minor axis
+    # instead of lane-strided slices) measured +3.3 ms/call SLOWER on the
+    # fused headline program — XLA already fuses the lane-strided slices
+    # into the framing pass, and the plane-sliced layout fuses worse.
     Zr, Zi = fft_ct(x[..., 0::2], x[..., 1::2], half, base)
     # k = 0..half with Z[half] == Z[0]; Z_f := conj(Z[half - k])
     Zr_e = jnp.concatenate([Zr, Zr[..., :1]], axis=-1)
