@@ -273,9 +273,12 @@ def _drain_split(eng, peaks):
         "roofline_ideal_ms_per_call": round(ideal_ms, 2) if ideal_ms else None,
         "k": K,
         "note": (
-            "marginal >> ideal means the steady-state per-batch cost is "
-            "tunnel RPC floor, not device work; one_call - marginal is "
-            "the per-dispatch latency overlapped away by async dispatch"
+            "args are device-resident zeros, so the pipelined marginal IS "
+            "program execution (r4: confirmed by the device trace, whose "
+            "leaf-op sum matches it exactly); one_call - marginal is the "
+            "per-dispatch tunnel latency overlapped away by async dispatch; "
+            "marginal vs ideal is the effective-bandwidth gap of "
+            "transform-pass-shaped traffic"
         ),
     }
     # Mega program (K batches per call): one call replaces K per-batch
