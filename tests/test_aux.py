@@ -219,3 +219,31 @@ def test_verify_real_golden_stage_on_synthetic(tmp_path, monkeypatch):
     assert {r["metric"] for r in rows} == {"lsd", "log_sispec", "sispec", "ssim"}
     for r in rows:
         assert np.isfinite(r["got"]) and r["abs_delta"] >= 0.0
+
+
+def test_host_fingerprint_stable_and_scopes_cache_dir():
+    """The persistent-cache dir must be host-ISA-scoped: XLA:CPU AOT
+    artifacts are keyed by program+options only, and loading one built
+    on a host with different machine features can SIGILL/SIGSEGV (a
+    bench run segfaulted on a cross-host shared dir in r4)."""
+    from ssr_eval_tpu.utils.jaxcache import host_fingerprint
+
+    fp = host_fingerprint()
+    assert len(fp) == 8 and all(c in "0123456789abcdef" for c in fp)
+    assert host_fingerprint() == fp  # deterministic per host
+
+
+def test_enable_persistent_cache_noop_on_cpu_backend():
+    """On the CPU backend (the test environment) the cache must stay
+    disabled — CPU programs compile fast and caching them is the risk."""
+    import jax
+
+    from ssr_eval_tpu.utils import jaxcache
+
+    before = jax.config.jax_compilation_cache_dir
+    jaxcache._done = False
+    try:
+        jaxcache.enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir == before is None
+    finally:
+        jaxcache._done = False
