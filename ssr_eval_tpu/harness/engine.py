@@ -109,6 +109,7 @@ class EvalEngine:
         metrics_backend="device",
         infer_fold_max=None,
         mega_batches=None,
+        wire_codec=None,
     ):
         self.specs = list(specs)
         self.input_sr = int(input_sr)
@@ -156,6 +157,15 @@ class EvalEngine:
         self.want_fused_audio = bool(save_processed_result) or (
             self.metrics_backend == "host_float64"
         )
+        # Lossless packed H2D wire for int16 batches (io/wirecodec.py):
+        # on tunneled/remote runtimes the sweep is wire-bound, so packing
+        # residuals at the batch's bit width cuts the binding H2D bytes
+        # ~0.7-0.85x for speech with BIT-IDENTICAL results.  None -> the
+        # SSR_EVAL_TPU_WIRE env flag.  Applies to device-testee,
+        # device-metrics, non-MP3 dispatches; anything else ships raw.
+        if wire_codec is None:
+            wire_codec = _env_flag("SSR_EVAL_TPU_WIRE", "0")
+        self.wire_codec = bool(wire_codec)
 
     def _record_cost(self, key, fn, args):
         """Remember a dispatched program's abstract arg shapes (cheap; no
@@ -242,9 +252,16 @@ class EvalEngine:
         self._compiled[key] = fn
         return fn
 
-    def _fused_fn(self, spec: DegradationSpec, native_sr: int, lnat: int):
+    def _fused_fn(self, spec: DegradationSpec, native_sr: int, lnat: int,
+                  wire=None):
         """Full sweep chain for device-native testees: ONE XLA program per
         (family, rate, bucket) evaluates a whole stack of specs.
+
+        `wire` (a wirecodec.WirePlan or None) selects the packed-wire
+        entry: the first traced op unpacks the uint32 residual words back
+        to the identical float32 batch (io/wirecodec.py), so XLA fuses
+        the unpack into the pipeline's first passes; (bits, order) is
+        part of the compile key.
 
         Structure: the ground-truth path (resample + target spectrogram)
         runs once per utterance; only degrade -> infer -> score is vmapped
@@ -254,6 +271,8 @@ class EvalEngine:
         """
         fkey = family_key(spec)
         key = ("fused", fkey, native_sr, lnat)
+        if wire is not None:
+            key = key + ((wire.bits, wire.order),)
         if key not in self._compiled:
             in_plan = self._input_plan(native_sr, lnat)
             lin = int(in_plan.out_length(lnat))
@@ -284,7 +303,11 @@ class EvalEngine:
             )
 
             def pipeline(x_nat, len_nat, params_stacked, testee_state):
-                if x_nat.dtype == jnp.int16:
+                if wire is not None:
+                    from ssr_eval_tpu.io import wirecodec
+
+                    x_nat = wirecodec.unpack_jax(x_nat, len_nat, wire)
+                elif x_nat.dtype == jnp.int16:
                     x_nat = x_nat.astype(jnp.float32) / 32768.0
 
                 def prep(x, n):
@@ -412,9 +435,9 @@ class EvalEngine:
             state = cached[1]
         return state
 
-    def _fused_call(self, specs, native_sr, lnat, xj, lj):
+    def _fused_call(self, specs, native_sr, lnat, xj, lj, wire=None):
         """Run all `specs` (one family) in a single stacked device call."""
-        fn = self._fused_fn(specs[0], native_sr, lnat)
+        fn = self._fused_fn(specs[0], native_sr, lnat, wire)
         lin = int(self._input_plan(native_sr, lnat).out_length(lnat))
         pkey = ("stacked_params", tuple(s.key for s in specs), lin)
         if pkey not in self._compiled:
@@ -424,10 +447,12 @@ class EvalEngine:
                 stacked = jax.device_put(stacked, self._replicated_sharding())
             self._compiled[pkey] = stacked
         stacked = self._compiled[pkey]
+        ckey = ("fused", family_key(specs[0]), native_sr, lnat)
+        if wire is not None:
+            ckey = ckey + ((wire.bits, wire.order),)
         # model weights ride through jit as an ARGUMENT (never constants)
         state = self._state_for_call()
-        self._record_cost(("fused", family_key(specs[0]), native_sr, lnat),
-                          fn, (xj, lj, stacked, state))
+        self._record_cost(ckey, fn, (xj, lj, stacked, state))
         out = fn(xj, lj, stacked, state)
         if not self.want_fused_audio:
             return (out, None, None)  # metrics [S,4,B] only
@@ -832,6 +857,25 @@ class EvalEngine:
             self.stats.seconds["drain"] += _time.perf_counter() - _t
             self.stats.counts["drain"] += 1
 
+    def _wire_plan_for(self, sr, b, xb, lens):
+        """Sticky per-bucket wire plan: every distinct (bits, order) is a
+        distinct XLA program (~30 s per compile on a tunneled runtime),
+        so reuse the bucket's previous plan whenever this batch's
+        residuals still fit its width, and re-plan with bits rounded UP
+        to an even ladder otherwise — a whole sweep over material of
+        varying loudness compiles at most a handful of packed entries
+        (tests/test_wirecodec.py::test_sticky_plan_bounds_programs)."""
+        from ssr_eval_tpu.io import wirecodec
+
+        key = ("wireplan", sr, b)
+        cached = self._compiled.get(key)
+        if cached is not None and wirecodec.fits(xb, lens, cached):
+            return cached
+        plan = wirecodec.plan_for(xb, lens, even_bits=True)
+        if plan is not None:
+            self._compiled[key] = plan
+        return plan
+
     def _process_batch(
         self, item, results, paths, pending, mp3_pending,
         device_specs, mp3_specs, codec_ex,
@@ -841,6 +885,27 @@ class EvalEngine:
         import time as _time
 
         (sr, b), idxs, xb, lens = item
+
+        # Packed wire (io/wirecodec.py): ship bit-packed residual words
+        # instead of raw int16 when the batch compresses and every
+        # consumer of this dispatch reads the fused program (the
+        # host_float64 / MP3 prep paths take the raw wire).  Host pack
+        # cost books to its own `pack` stage — it overlaps device
+        # compute like decode does.
+        wire = None
+        if (
+            self.wire_codec
+            and self.device_testee
+            and self.metrics_backend == "device"
+            and not mp3_specs
+            and xb.dtype == np.int16
+        ):
+            from ssr_eval_tpu.io import wirecodec
+
+            with self.stats.stage("pack"):
+                wire = self._wire_plan_for(sr, b, xb, lens)
+                if wire is not None:
+                    xb = wirecodec.pack(xb, lens, wire)
 
         _t = _time.perf_counter()
         # "fresh" => this batch triggers a first-execution jit trace /
@@ -873,10 +938,13 @@ class EvalEngine:
                 # First EXECUTION compiles (checked via _cost_calls, not
                 # _compiled: a mega trace registers the fused jit wrapper
                 # without ever running it standalone).
-                fresh |= ("fused", fkey, sr, b) not in self._cost_calls
+                fck = ("fused", fkey, sr, b)
+                if wire is not None:
+                    fck = fck + ((wire.bits, wire.order),)
+                fresh |= fck not in self._cost_calls
                 # JAX dispatch is async: queue every batch's work on the
                 # device before blocking on any transfer.
-                out = self._fused_call(gspecs, sr, b, xj, lj)
+                out = self._fused_call(gspecs, sr, b, xj, lj, wire=wire)
                 # Optionally start execution + the result transfer NOW
                 # (SSR_EVAL_TPU_EAGER_FETCH=1): the tunneled runtime
                 # defers work until a blocking fetch, which can
