@@ -158,11 +158,13 @@ class EvalEngine:
             self.metrics_backend == "host_float64"
         )
         # Lossless packed H2D wire for int16 batches (io/wirecodec.py):
-        # on tunneled/remote runtimes the sweep is wire-bound, so packing
-        # residuals at the batch's bit width cuts the binding H2D bytes
-        # ~0.7-0.85x for speech with BIT-IDENTICAL results.  None -> the
-        # SSR_EVAL_TPU_WIRE env flag.  Applies to device-testee,
-        # device-metrics, non-MP3 dispatches; anything else ships raw.
+        # cuts the H2D bytes ~0.8-0.9x for quiet speech with
+        # BIT-IDENTICAL results.  Measured OFF on this 1-core bench host
+        # (host pack cost dwarfs the wire saving — DESIGN.md dead ends);
+        # an option for multi-core hosts feeding high-latency links.
+        # None -> the SSR_EVAL_TPU_WIRE env flag.  Applies to
+        # device-testee, device-metrics, non-MP3 dispatches; anything
+        # else ships raw.
         if wire_codec is None:
             wire_codec = _env_flag("SSR_EVAL_TPU_WIRE", "0")
         self.wire_codec = bool(wire_codec)
@@ -869,11 +871,22 @@ class EvalEngine:
 
         key = ("wireplan", sr, b)
         cached = self._compiled.get(key)
+        if cached is False:
+            return None  # bucket measured incompressible — stop planning
         if cached is not None and wirecodec.fits(xb, lens, cached):
             return cached
         plan = wirecodec.plan_for(xb, lens, even_bits=True)
         if plan is not None:
             self._compiled[key] = plan
+        elif cached is None:
+            # Refusal is sticky once the bucket's opening batches don't
+            # compress (material loudness is homogeneous within a
+            # dataset; re-planning every batch would pay ~0.3 s/batch of
+            # host diffs for nothing on a 1-core host — measured r4).
+            misses = self._compiled.get(("wiremiss", sr, b), 0) + 1
+            self._compiled[("wiremiss", sr, b)] = misses
+            if misses >= 2:
+                self._compiled[key] = False
         return plan
 
     def _process_batch(

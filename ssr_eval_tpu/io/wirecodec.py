@@ -6,9 +6,15 @@ WIRE-BOUND, not execution-bound — the fused headline program runs at
 costs several hundred ms of tunnel time (measured r4: 12 pipelined
 fused calls on device-resident args take ~1.05 s vs ~1.9 s best /
 3-6 s typical for the same pass with per-batch H2D; the raw PCM is
-zlib-incompressible so the link cannot be compressing it).  Real
-deployments feeding TPU pods over a network share the same constraint;
-PCIe-local hosts simply see a no-op win.
+zlib-incompressible so the link cannot be compressing it).  Measured
+disposition (r4, on-chip interleaved A/Bs — DESIGN.md dead ends):
+DEFAULT OFF.  Near-full-scale material needs 15-bit residuals (outlier
+samples dominate the batch-global width) and ships raw; quiet material
+packs at 0.875x but the host-side pack (~0.31 s/batch) runs SERIAL on
+the 1-core bench host and dwarfs the wire saving.  The codec is
+correct, bit-exact, and cheap to refuse everywhere; enable it only on
+a multi-core host (pack overlaps decode/dispatch) feeding a
+high-latency link with quiet material, and measure.
 
 Scheme (classic lossless-audio, FLAC-style, but TPU-decodable): the host
 applies a fixed linear predictor (order 0/1/2 difference) and packs the
@@ -68,16 +74,29 @@ class WirePlan:
         return (self.words_per_row * 4) / (self.length * 2)
 
 
-def _residuals(x: np.ndarray, lens: np.ndarray, order: int) -> np.ndarray:
+def _dead_mask(x: np.ndarray, lens) -> np.ndarray | None:
+    if lens is None:
+        return None
+    return np.arange(x.shape[1])[None, :] >= np.asarray(lens)[:, None]
+
+
+def _residuals(x: np.ndarray, lens, order: int) -> np.ndarray:
     """Order-`order` difference residuals, zeroed at/after each row's
     true length (the close-out spikes a zero-padded diff would create at
-    the data->padding boundary must not inflate the bit width)."""
+    the data->padding boundary must not inflate the bit width).
+
+    Masking after EVERY diff is equivalent to masking once at the end
+    for the live region (a live index only reads live neighbours) and
+    both leave the dead region at exactly zero, so pack / plan_for /
+    fits all agree on the same residual values."""
+    dead = _dead_mask(x, lens)
     r = x.astype(np.int32)
+    if dead is not None:
+        r = np.where(dead, 0, r)
     for _ in range(order):
         r = np.diff(r, axis=1, prepend=0)
-    if lens is not None:
-        dead = np.arange(x.shape[1])[None, :] >= np.asarray(lens)[:, None]
-        r = np.where(dead, 0, r)
+        if dead is not None:
+            r = np.where(dead, 0, r)
     return r
 
 
@@ -101,14 +120,22 @@ def plan_for(
     engine pairs this with a sticky per-bucket plan — see
     harness/engine.py _wire_plan_for)."""
     assert x.dtype == np.int16, x.dtype
+    dead = _dead_mask(x, lens)
+    r = x.astype(np.int32)
+    if dead is not None:
+        r = np.where(dead, 0, r)
     best = None
     for order in (0, 1, 2):
-        b = _bits_for(_residuals(x, lens, order))
+        if order:  # incremental: order-k residuals diff the order-(k-1)
+            r = np.diff(r, axis=1, prepend=0)
+            if dead is not None:
+                r = np.where(dead, 0, r)
+        b = _bits_for(r)
         if even_bits:
             b += b & 1
         if best is None or b < best[0]:
             best = (b, order)
-    if best is None or best[0] > max_bits:
+    if best[0] > max_bits:
         return None
     return WirePlan(bits=best[0], order=best[1], length=int(x.shape[1]))
 

@@ -189,6 +189,37 @@ def test_sticky_plan_bounds_programs(tmp_path):
             assert res_raw[p][key] == res[p][key], (p, key)
 
 
+def test_sticky_refusal_stops_planning(tmp_path):
+    """Incompressible buckets must stop paying plan_for after the
+    opening batches: ~0.3 s/batch of host diffs for nothing (measured
+    r4 on the bench fixture, which needs 15-bit residuals)."""
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.harness.testee import BatchedTestee
+    from ssr_eval_tpu.io.audio import write_wav
+
+    rng = np.random.default_rng(5)
+    sr = 8000
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"n{i}.wav"
+        x = rng.integers(-32768, 32768, size=int(0.6 * sr)).astype(np.int16)
+        write_wav(str(p), x.astype(np.float32) / 32768.0, sr)
+        paths.append(str(p))
+    specs = expand_settings(setting_fft={"cutoff_freq": [4000]}, sr=sr)
+    eng = EvalEngine(
+        specs, input_sr=sr, output_sr=sr, evaluation_sr=sr,
+        testee=BatchedTestee(), batch_size=1, wire_codec=True,
+    )
+    res = eng.evaluate_files(paths)
+    bucket_keys = [k for k in eng._compiled if k and k[0] == "wireplan"]
+    assert bucket_keys and all(eng._compiled[k] is False for k in bucket_keys)
+    misses = [v for k, v in eng._compiled.items() if k and k[0] == "wiremiss"]
+    assert misses == [2]  # planned exactly twice, then gave up
+    assert not [k for k in eng._cost_args if k and k[0] == "fused" and len(k) == 5]
+    assert all(np.isfinite(list(res[p].values())[0]["lsd"]) for p in paths)
+
+
 def test_engine_float_sources_fall_back(tmp_path):
     """Non-int16 sources must take the raw wire (no plan, no crash)."""
     from ssr_eval_tpu.degrade.plan import expand_settings
