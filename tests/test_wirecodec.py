@@ -220,6 +220,47 @@ def test_sticky_refusal_stops_planning(tmp_path):
     assert all(np.isfinite(list(res[p].values())[0]["lsd"]) for p in paths)
 
 
+def test_engine_mesh_packed_equals_unsharded(tmp_path):
+    """Wire codec composes with the data mesh: the packed uint32 batch
+    shards on its leading axis like the raw wire, and sharded metrics
+    equal the unsharded raw run bit for bit."""
+    import jax
+
+    from ssr_eval_tpu.degrade.plan import expand_settings
+    from ssr_eval_tpu.harness.engine import EvalEngine
+    from ssr_eval_tpu.harness.fixtures import speechlike
+    from ssr_eval_tpu.harness.testee import BatchedTestee
+    from ssr_eval_tpu.io.audio import write_wav
+    from ssr_eval_tpu.parallel.mesh import data_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device CPU backend")
+
+    sr = 8000
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"m{i}.wav"
+        write_wav(str(p), 0.3 * speechlike(0.8, sr, seed=40 + i), sr)
+        paths.append(str(p))
+    specs = expand_settings(setting_fft={"cutoff_freq": [4000]}, sr=sr)
+
+    def run(wire, mesh):
+        eng = EvalEngine(
+            specs, input_sr=sr, output_sr=sr, evaluation_sr=sr,
+            testee=BatchedTestee(), batch_size=4, wire_codec=wire, mesh=mesh,
+        )
+        return eng, eng.evaluate_files(paths)
+
+    eng_mesh, r_mesh = run(True, data_mesh(jax.devices()[:4]))
+    assert any(
+        k[0] == "fused" and len(k) == 5 for k in eng_mesh._cost_args
+    ), "mesh run never dispatched a packed program"
+    _, r_raw = run(False, None)
+    for p in paths:
+        for key in r_raw[p]:
+            assert r_raw[p][key] == r_mesh[p][key], (p, key)
+
+
 def test_engine_float_sources_fall_back(tmp_path):
     """Non-int16 sources must take the raw wire (no plan, no crash)."""
     from ssr_eval_tpu.degrade.plan import expand_settings
