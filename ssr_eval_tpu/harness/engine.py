@@ -76,6 +76,26 @@ def _max_pending() -> int:
     return max(1, int(os.environ.get("SSR_EVAL_TPU_MAX_PENDING", "24")))
 
 
+def _spec_unroll() -> int:
+    """Unroll factor for the fused program's spec-axis loops.
+
+    1 (default) keeps them as `lax.map` — one traced body, looped on
+    device.  >1 lowers through `lax.scan(unroll=k)` so each while-loop
+    trip handles k specs (fewer loop-carried copies / output
+    dynamic-update-slice roundtrips, at the cost of a k-times-bigger HLO
+    body and compile time).  Override via SSR_EVAL_TPU_SPEC_UNROLL."""
+    import os
+
+    return max(1, int(os.environ.get("SSR_EVAL_TPU_SPEC_UNROLL", "1")))
+
+
+def _spec_map(f, xs, unroll: int):
+    """`lax.map` over the stacked spec axis, optionally scan-unrolled."""
+    if unroll <= 1:
+        return jax.lax.map(f, xs)
+    return jax.lax.scan(lambda c, x: (c, f(x)), None, xs, unroll=unroll)[1]
+
+
 def _infer_fold_max() -> int:
     """Target folded testee batch for the fused sweep (specs x utterances).
 
@@ -110,6 +130,7 @@ class EvalEngine:
         infer_fold_max=None,
         mega_batches=None,
         wire_codec=None,
+        spec_unroll=None,
     ):
         self.specs = list(specs)
         self.input_sr = int(input_sr)
@@ -168,6 +189,8 @@ class EvalEngine:
         if wire_codec is None:
             wire_codec = _env_flag("SSR_EVAL_TPU_WIRE", "0")
         self.wire_codec = bool(wire_codec)
+        # Spec-loop unroll factor (see _spec_unroll); None/0 -> env default.
+        self.spec_unroll = int(spec_unroll) if spec_unroll else _spec_unroll()
 
     def _record_cost(self, key, fn, args):
         """Remember a dispatched program's abstract arg shapes (cheap; no
@@ -275,6 +298,9 @@ class EvalEngine:
         key = ("fused", fkey, native_sr, lnat)
         if wire is not None:
             key = key + ((wire.bits, wire.order),)
+        unroll = self.spec_unroll
+        if unroll > 1:
+            key = key + (("unroll", unroll),)
         if key not in self._compiled:
             in_plan = self._input_plan(native_sr, lnat)
             lin = int(in_plan.out_length(lnat))
@@ -342,9 +368,10 @@ class EvalEngine:
                 # chip: vmapping both spec loops compiled in 325 s vs 9 s
                 # and ran no faster — docs/DESIGN.md "Dead ends").
                 deg_inner = jax.vmap(deg_apply, in_axes=(ctx_axis, 0, 0, None))
-                d_all = jax.lax.map(
+                d_all = _spec_map(
                     lambda params: deg_inner(ctx, x_in, n_in, params),
                     params_stacked,
+                    unroll,
                 )  # [S, B, Lin]
 
                 # Infer: fold the spec axis INTO the testee batch — one
@@ -378,8 +405,10 @@ class EvalEngine:
                     )
                     return y.reshape(G, B, y.shape[1]), ny.reshape(G, B)
 
-                y_all, ny_all = jax.lax.map(
-                    infer_group, d_all.reshape(n_groups, G, B, d_all.shape[2])
+                y_all, ny_all = _spec_map(
+                    infer_group,
+                    d_all.reshape(n_groups, G, B, d_all.shape[2]),
+                    unroll,
                 )
                 lout = y_all.shape[3]  # static at trace time
                 y_all = y_all.reshape(Spad, B, lout)[:S]
@@ -415,7 +444,7 @@ class EvalEngine:
                         return mstack
                     return mstack, ye, ne
 
-                return jax.lax.map(score_spec, (y_all, ny_all))
+                return _spec_map(score_spec, (y_all, ny_all), unroll)
 
             self._compiled[key] = jax.jit(pipeline)
         return self._compiled[key]
@@ -452,6 +481,8 @@ class EvalEngine:
         ckey = ("fused", family_key(specs[0]), native_sr, lnat)
         if wire is not None:
             ckey = ckey + ((wire.bits, wire.order),)
+        if self.spec_unroll > 1:
+            ckey = ckey + (("unroll", self.spec_unroll),)
         # model weights ride through jit as an ARGUMENT (never constants)
         state = self._state_for_call()
         self._record_cost(ckey, fn, (xj, lj, stacked, state))
