@@ -1,14 +1,17 @@
-"""On-chip A/B: spec-loop scan-unroll vs lax.map on the headline fused
-program.
+"""On-chip A/B: spec-loop lowering variants on the headline fused program
+— lax.map (baseline), scan-unroll, and the spec-FLAT fold.
 
 The r4 device trace books ~25% of the fused call in copy/reshape/
 dynamic-update-slice from `lax.map` state threading; unrolling the spec
 loops (`lax.scan(unroll=k)`) trades loop-carried copies for a k-times
-bigger HLO body.  Interleaves the variants' pipelined-marginal
-measurements in ONE process (cross-process timing through the tunnel is
-weather-dominated — CLAUDE.md).  Prints a JSON summary.
+bigger HLO body, and the flat fold ("flat") removes the loops entirely by
+folding the spec axis into the leading batch dim (VERDICT r4 #1).
+Interleaves the variants' pipelined-marginal measurements in ONE process
+(cross-process timing through the tunnel is weather-dominated —
+CLAUDE.md).  Prints a JSON summary.
 
-Usage: python scripts/unroll_ab.py [unroll factors, default 1 2 7]
+Usage: python scripts/unroll_ab.py [variants, default 1 2 7 flat]
+       (ints = scan-unroll factors, 1 = lax.map; "flat" = spec fold)
 """
 
 from __future__ import annotations
@@ -51,7 +54,9 @@ def _force(o):
 
 
 def main():
-    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 7]
+    factors = [
+        a if a == "flat" else int(a) for a in sys.argv[1:]
+    ] or [1, 2, 7, "flat"]
     tmp = tempfile.mkdtemp(prefix="ssr_unroll_ab_")
     paths = bench._make_dataset(tmp, bench.BATCH)
     specs = expand_settings(
@@ -61,7 +66,10 @@ def main():
     results = {}
     compile_s = {}
     for u in factors:
-        eng = bench._engine(specs, BatchedTestee(), spec_unroll=u)
+        if u == "flat":
+            eng = bench._engine(specs, BatchedTestee(), spec_flat=True)
+        else:
+            eng = bench._engine(specs, BatchedTestee(), spec_unroll=u)
         t0 = time.perf_counter()
         results[u] = eng.evaluate_files(paths)  # compile + warm
         compile_s[u] = round(time.perf_counter() - t0, 1)

@@ -87,8 +87,11 @@ def main():
                 }
             print(f"[pass {i}] {name}: {dt:.3f}s", flush=True)
 
+    from ssr_eval_tpu.harness.engine import fused_key_has_wire
+
     wire_keys = [
-        k for k in engines["wire"]._cost_args if k and k[0] == "fused" and len(k) == 5
+        k for k in engines["wire"]._cost_args
+        if k and k[0] == "fused" and fused_key_has_wire(k)
     ]
     wireplans = {
         str(k): v for k, v in engines["wire"]._compiled.items()

@@ -51,6 +51,19 @@ from ssr_eval_tpu.utils.profiling import StageTimers, device_trace
 METRIC_KEYS = ("lsd", "log_sispec", "sispec", "ssim")
 
 
+def fused_key_has_wire(key) -> bool:
+    """True when a fused compile key carries a packed-wire suffix.
+
+    A fused key is ("fused", fkey, native_sr, lnat) plus optional
+    suffixes: the wire suffix is the (bits, order) int 2-tuple, the
+    unroll suffix is ("unroll", k).  Detect by CONTENT, not key length —
+    with spec_unroll > 1 a non-wire key is also length 5 (ADVICE r4)."""
+    return any(
+        isinstance(p, tuple) and len(p) == 2 and not isinstance(p[0], str)
+        for p in key[4:]
+    )
+
+
 def _env_flag(name: str, default: str) -> bool:
     """Uniform env-flag semantics: "0"/"false"/"" all mean disabled."""
     import os
@@ -96,6 +109,20 @@ def _spec_map(f, xs, unroll: int):
     return jax.lax.scan(lambda c, x: (c, f(x)), None, xs, unroll=unroll)[1]
 
 
+def _spec_flat() -> bool:
+    """Flatten the fused program's spec axis into the leading batch dim.
+
+    The r4 device trace books ~25% of the fused call in copy/reshape/
+    dynamic-update-slice from `lax.map` state threading; flattening
+    [S, B, ...] work to one [S*B, ...] vmap removes the loops entirely
+    while keeping every array rank-2 (unlike the refuted nested
+    vmap-over-specs, which handed XLA rank-3 ops and a 325 s compile —
+    docs/DESIGN.md).  Costs S-times the intermediate activation HBM, so
+    it suits sweep-sized S*B (the benched configs).  Override via
+    SSR_EVAL_TPU_SPEC_FLAT."""
+    return _env_flag("SSR_EVAL_TPU_SPEC_FLAT", "0")
+
+
 def _infer_fold_max() -> int:
     """Target folded testee batch for the fused sweep (specs x utterances).
 
@@ -131,6 +158,7 @@ class EvalEngine:
         mega_batches=None,
         wire_codec=None,
         spec_unroll=None,
+        spec_flat=None,
     ):
         self.specs = list(specs)
         self.input_sr = int(input_sr)
@@ -191,6 +219,24 @@ class EvalEngine:
         self.wire_codec = bool(wire_codec)
         # Spec-loop unroll factor (see _spec_unroll); None/0 -> env default.
         self.spec_unroll = int(spec_unroll) if spec_unroll else _spec_unroll()
+        # Spec-axis flattening (see _spec_flat); None -> env default.
+        # Takes precedence over spec_unroll (there is no loop to unroll).
+        self.spec_flat = _spec_flat() if spec_flat is None else bool(spec_flat)
+
+    def _fused_key(self, fkey, native_sr, lnat, wire=None):
+        """The ONE constructor for fused compile/cost keys, shared by
+        _fused_fn / _fused_call / the freshness check in _process_batch so
+        the three sites cannot drift (ADVICE r4: the freshness check
+        missed the unroll suffix, booking all fused time to `compile`
+        whenever spec_unroll > 1)."""
+        key = ("fused", fkey, native_sr, lnat)
+        if wire is not None:
+            key = key + ((wire.bits, wire.order),)
+        if self.spec_flat:
+            key = key + (("flat",),)
+        elif self.spec_unroll > 1:
+            key = key + (("unroll", self.spec_unroll),)
+        return key
 
     def _record_cost(self, key, fn, args):
         """Remember a dispatched program's abstract arg shapes (cheap; no
@@ -295,12 +341,8 @@ class EvalEngine:
         so the truncate-to-min length is shared across specs.
         """
         fkey = family_key(spec)
-        key = ("fused", fkey, native_sr, lnat)
-        if wire is not None:
-            key = key + ((wire.bits, wire.order),)
+        key = self._fused_key(fkey, native_sr, lnat, wire)
         unroll = self.spec_unroll
-        if unroll > 1:
-            key = key + (("unroll", unroll),)
         if key not in self._compiled:
             in_plan = self._input_plan(native_sr, lnat)
             lin = int(in_plan.out_length(lnat))
@@ -361,6 +403,12 @@ class EvalEngine:
                 )
 
                 ctx_axis = None if ctx is None else 0
+
+                if self.spec_flat:
+                    return flat_tail(
+                        x_in, n_in, ctx, ctx_axis, params_stacked, testee_state,
+                        tgt_sp, min_len, t_uy, t_uyy,
+                    )
 
                 # Degrade: lax.map over the spec axis (traced once, looped
                 # on device — vmapping it S-fold multiplies the HLO and
@@ -446,6 +494,99 @@ class EvalEngine:
 
                 return _spec_map(score_spec, (y_all, ny_all), unroll)
 
+            def flat_tail(
+                x_in, n_in, ctx, ctx_axis, params_stacked, testee_state,
+                tgt_sp, min_len, t_uy, t_uyy,
+            ):
+                """Spec axis FOLDED into the leading batch dim: degrade /
+                infer / score run as single [B*S]-row vmaps — no lax.map,
+                no loop-carried copies / output dynamic-update-slices (the
+                r4 trace's ~25% share), every array the same rank as the
+                per-batch body.  Layout is utterance-major ([j*S + s] =
+                utterance j, spec s): the sharded batch dim stays MAJOR in
+                the merged dim, so GSPMD propagates the mesh sharding
+                through the reshape (spec-major would interleave the
+                sharded dim as minor, which GSPMD cannot express)."""
+                S = jax.tree_util.tree_leaves(params_stacked)[0].shape[0]
+                B = x_in.shape[0]
+                N = B * S
+
+                def tile_u(a):  # per-utterance [B, ...] -> [B*S, ...]
+                    return jnp.repeat(a, S, axis=0)
+
+                def tile_s(p):  # per-spec [S, ...] -> [B*S, ...]
+                    return jnp.broadcast_to(p[None], (B,) + p.shape).reshape(
+                        (N,) + p.shape[1:]
+                    )
+
+                params_flat = jax.tree_util.tree_map(tile_s, params_stacked)
+                ctx_f = (
+                    None if ctx is None else jax.tree_util.tree_map(tile_u, ctx)
+                )
+                n_flat = tile_u(n_in)
+                d_flat = jax.vmap(deg_apply, in_axes=(ctx_axis, 0, 0, 0))(
+                    ctx_f, tile_u(x_in), n_flat, params_flat
+                )  # [N, Lin]
+
+                # Infer fold: one call when everything fits (the benched
+                # configs: N == fold), else pad the tail and lax.map over
+                # contiguous row groups (padded rows discarded below).
+                fold = self.infer_fold_max or _infer_fold_max()
+                rows = min(N, max(B, (fold // B) * B))
+                n_groups = -(-N // rows)
+                Npad = n_groups * rows
+                if Npad != N:
+                    pad = Npad - N
+                    d_flat = jnp.concatenate(
+                        [d_flat, jnp.broadcast_to(d_flat[:1], (pad, d_flat.shape[1]))]
+                    )
+                    n_flat_p = jnp.concatenate(
+                        [n_flat, jnp.broadcast_to(n_flat[:1], (pad,))]
+                    )
+                else:
+                    n_flat_p = n_flat
+                if n_groups == 1:
+                    y_flat, ny_flat = infer_batch(d_flat, n_flat_p, testee_state)
+                else:
+                    y_g, ny_g = jax.lax.map(
+                        lambda t: infer_batch(t[0], t[1], testee_state),
+                        (
+                            d_flat.reshape(n_groups, rows, d_flat.shape[1]),
+                            n_flat_p.reshape(n_groups, rows),
+                        ),
+                    )
+                    y_flat = y_g.reshape(Npad, y_g.shape[2])
+                    ny_flat = ny_g.reshape(Npad)
+                y_flat = y_flat[:N]
+                ny_flat = ny_flat[:N]
+                lout = y_flat.shape[1]  # static at trace time
+                out_plan = resample_poly_plan(
+                    self.output_sr, self.evaluation_sr, lout
+                )
+                leval = int(out_plan.out_length(lout))
+                Wo = jnp.asarray(out_plan.Wd)
+
+                def score(yy, nyy, sp, ml, uy, uyy):
+                    ye, ne = apply_resample(yy, nyy, out_plan, leval, Wo)
+                    m = spectral_metrics_with_target(
+                        ye, ml, sp, cfg, mf, tgt_ssim_moments=(uy, uyy)
+                    )
+                    return m, ye, ne
+
+                m, ye, ne = jax.vmap(score)(
+                    y_flat, ny_flat, tile_u(tgt_sp), tile_u(min_len),
+                    tile_u(t_uy), tile_u(t_uyy),
+                )
+                mstack = jnp.stack([m[k] for k in METRIC_KEYS])  # [4, B*S]
+                mstack = mstack.reshape(4, B, S).transpose(2, 0, 1)  # [S, 4, B]
+                if not self.want_fused_audio:
+                    return mstack
+                return (
+                    mstack,
+                    ye.reshape(B, S, leval).transpose(1, 0, 2),
+                    ne.reshape(B, S).T,
+                )
+
             self._compiled[key] = jax.jit(pipeline)
         return self._compiled[key]
 
@@ -478,11 +619,7 @@ class EvalEngine:
                 stacked = jax.device_put(stacked, self._replicated_sharding())
             self._compiled[pkey] = stacked
         stacked = self._compiled[pkey]
-        ckey = ("fused", family_key(specs[0]), native_sr, lnat)
-        if wire is not None:
-            ckey = ckey + ((wire.bits, wire.order),)
-        if self.spec_unroll > 1:
-            ckey = ckey + (("unroll", self.spec_unroll),)
+        ckey = self._fused_key(family_key(specs[0]), native_sr, lnat, wire)
         # model weights ride through jit as an ARGUMENT (never constants)
         state = self._state_for_call()
         self._record_cost(ckey, fn, (xj, lj, stacked, state))
@@ -982,9 +1119,7 @@ class EvalEngine:
                 # First EXECUTION compiles (checked via _cost_calls, not
                 # _compiled: a mega trace registers the fused jit wrapper
                 # without ever running it standalone).
-                fck = ("fused", fkey, sr, b)
-                if wire is not None:
-                    fck = fck + ((wire.bits, wire.order),)
+                fck = self._fused_key(fkey, sr, b, wire)
                 fresh |= fck not in self._cost_calls
                 # JAX dispatch is async: queue every batch's work on the
                 # device before blocking on any transfer.

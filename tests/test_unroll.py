@@ -7,8 +7,6 @@ call (docs/DESIGN.md).  Whatever the A/B verdict, the results must be
 equivalent to the lax.map path — same per-spec math, only the loop
 lowering differs — including a remainder trip (S not divisible by k)."""
 
-import os
-
 import pytest
 
 from ssr_eval_tpu.degrade.plan import expand_settings
@@ -87,20 +85,14 @@ def test_unroll_full_and_iir_family(tmp_path):
         assert r1[key] == pytest.approx(r2[key], abs=1e-5), key
 
 
-def test_unroll_default_and_env():
+def test_unroll_default_and_env(monkeypatch):
     """Default is 1 (lax.map); ctor overrides env; env applies when the
     ctor leaves it None."""
     specs = expand_settings(setting_fft={"cutoff_freq": [4000]}, sr=SR)
-    old = os.environ.pop("SSR_EVAL_TPU_SPEC_UNROLL", None)
-    try:
-        assert _spec_unroll() == 1
-        assert _engine(specs, unroll=None).spec_unroll == 1
-        assert _engine(specs, unroll=4).spec_unroll == 4
-        os.environ["SSR_EVAL_TPU_SPEC_UNROLL"] = "3"
-        assert _engine(specs, unroll=None).spec_unroll == 3
-        assert _engine(specs, unroll=2).spec_unroll == 2
-    finally:
-        if old is None:
-            os.environ.pop("SSR_EVAL_TPU_SPEC_UNROLL", None)
-        else:
-            os.environ["SSR_EVAL_TPU_SPEC_UNROLL"] = old
+    monkeypatch.delenv("SSR_EVAL_TPU_SPEC_UNROLL", raising=False)
+    assert _spec_unroll() == 1
+    assert _engine(specs, unroll=None).spec_unroll == 1
+    assert _engine(specs, unroll=4).spec_unroll == 4
+    monkeypatch.setenv("SSR_EVAL_TPU_SPEC_UNROLL", "3")
+    assert _engine(specs, unroll=None).spec_unroll == 3
+    assert _engine(specs, unroll=2).spec_unroll == 2

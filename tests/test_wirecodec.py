@@ -10,6 +10,7 @@ import pytest
 
 import jax.numpy as jnp
 
+from ssr_eval_tpu.harness.engine import fused_key_has_wire
 from ssr_eval_tpu.io import wirecodec as wc
 
 
@@ -139,7 +140,9 @@ def test_engine_metrics_identical_packed_vs_raw(tmp_path):
 
     eng_raw, r_raw = run(False)
     eng_pk, r_pk = run(True)
-    assert any(k[0] == "fused" and len(k) == 5 for k in eng_pk._cost_args), (
+    assert any(
+        k[0] == "fused" and fused_key_has_wire(k) for k in eng_pk._cost_args
+    ), (
         "packed program never dispatched: " + str(list(eng_pk._cost_args))
     )
     for p in paths:
@@ -178,11 +181,15 @@ def test_sticky_plan_bounds_programs(tmp_path):
 
     eng, res = run(True)
     fused_keys = [k for k in eng._cost_args if k and k[0] == "fused"]
-    packed = [k for k in fused_keys if len(k) == 5]
+    packed = [k for k in fused_keys if fused_key_has_wire(k)]
     assert packed, "no packed program dispatched"
     assert len(fused_keys) <= 2, fused_keys  # sticky ladder, not 1/batch
     for k in packed:
-        assert k[4][0] % 2 == 0, k  # even-bits ladder
+        wire = next(
+            p for p in k[4:]
+            if isinstance(p, tuple) and not isinstance(p[0], str)
+        )
+        assert wire[0] % 2 == 0, k  # even-bits ladder
     _, res_raw = run(False)
     for p in paths:
         for key in res_raw[p]:
@@ -216,7 +223,10 @@ def test_sticky_refusal_stops_planning(tmp_path):
     assert bucket_keys and all(eng._compiled[k] is False for k in bucket_keys)
     misses = [v for k, v in eng._compiled.items() if k and k[0] == "wiremiss"]
     assert misses == [2]  # planned exactly twice, then gave up
-    assert not [k for k in eng._cost_args if k and k[0] == "fused" and len(k) == 5]
+    assert not [
+        k for k in eng._cost_args
+        if k and k[0] == "fused" and fused_key_has_wire(k)
+    ]
     assert all(np.isfinite(list(res[p].values())[0]["lsd"]) for p in paths)
 
 
@@ -253,7 +263,7 @@ def test_engine_mesh_packed_equals_unsharded(tmp_path):
 
     eng_mesh, r_mesh = run(True, data_mesh(jax.devices()[:4]))
     assert any(
-        k[0] == "fused" and len(k) == 5 for k in eng_mesh._cost_args
+        k[0] == "fused" and fused_key_has_wire(k) for k in eng_mesh._cost_args
     ), "mesh run never dispatched a packed program"
     _, r_raw = run(False, None)
     for p in paths:
