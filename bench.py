@@ -384,16 +384,59 @@ def main():
     results = eng.evaluate_files(paths[:N_BASE])  # for the oracle delta
 
     # ---- CPU reference baseline (float64 NumPy, same sweep) -------------
-    # Best-of-2: the 1-core host's load swings single-pass timings ~2x,
-    # and taking the FASTER baseline makes vs_baseline conservative.
-    _log("cpu baseline oracle")
+    # PINNED (VERDICT r4 #3): the baseline is a property of the reference
+    # pipeline + this host, not of the current run — re-measuring it every
+    # bench on a contended 1-core host made vs_baseline swing with load.
+    # First run on a given config measures best-of-2 and writes
+    # BASELINE_F64.json; later runs reuse it (delete the file, or set
+    # SSR_BENCH_REBASELINE=1, to re-measure on an idle host).  The oracle
+    # metric VALUES are still computed fresh every run (accuracy deltas
+    # below) — only the seconds are pinned.
+    base_cfg = {
+        "n_base": N_BASE, "utt_seconds": UTT_SECONDS, "sr": SR,
+        "cutoffs": CUTOFFS,
+    }
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_F64.json"
+    )
+    pinned = None
+    if os.environ.get("SSR_BENCH_REBASELINE", "0") in ("0", "false", ""):
+        try:
+            with open(base_path) as f:
+                cand = json.load(f)
+            if cand.get("config") == base_cfg:
+                pinned = cand
+        except (OSError, ValueError):
+            pinned = None
+    _log("cpu baseline oracle" + (" (seconds pinned)" if pinned else ""))
     base_best = None
     for _ in range(2):
         t0 = time.perf_counter()
         oracle = {p: _f64_pipeline_one(p, CUTOFFS) for p in paths[:N_BASE]}
         dt = time.perf_counter() - t0
         base_best = dt if base_best is None else min(base_best, dt)
-    base_utt_per_s = 1.0 / (base_best / N_BASE)
+        if pinned is not None:
+            break  # one pass for the oracle VALUES; seconds come pinned
+    if pinned is not None:
+        base_utt_per_s = float(pinned["baseline_utt_per_s"])
+    else:
+        base_utt_per_s = 1.0 / (base_best / N_BASE)
+        if not QUICK:
+            with open(base_path, "w") as f:
+                json.dump(
+                    {
+                        "config": base_cfg,
+                        "baseline_utt_per_s": round(base_utt_per_s, 4),
+                        "measured_best_of": 2,
+                        "note": (
+                            "float64 NumPy/SciPy reference pipeline, "
+                            "utt/s on this host; pinned so vs_baseline "
+                            "stops moving with host load (VERDICT r4 #3)"
+                        ),
+                    },
+                    f,
+                    indent=1,
+                )
 
     # identity-testee delta vs the f64 oracle (floor-dominated in masked
     # bands — PARITY.md deviation 4; reported for transparency).
@@ -449,7 +492,8 @@ def main():
             nv_cfg_bf16 = {"batch": 2, "fold": 4} if QUICK else {"batch": 16, "fold": 112}
             nv_cfg_f32 = {"batch": 2, "fold": 4} if QUICK else {"batch": 8, "fold": 56}
 
-            def _nvsr_run(dtype, batch, fold, passes=2, fold_bn=False):
+            def _nvsr_run(dtype, batch, fold, passes=2, fold_bn=False,
+                          marginal=False):
                 # Per-dtype best measured config (6 s bucket, real chip):
                 # f32 batch 8 / fold 56 (one 56-row folded model call per
                 # batch; fold 112 exhausts HBM in f32), bf16 batch 16 /
@@ -469,6 +513,16 @@ def main():
                     for key, m in r_nv[p].items():
                         per_cut.setdefault(key, []).append(float(m["lsd"]))
                 util = _engine_utilization(eng_nv, n_nv, batch, e_nv)
+                if marginal:
+                    # Weather-immune per-batch cost (VERDICT r4 #3): the
+                    # pipelined marginal of the compiled fused program on
+                    # device-resident args, comparable round over round.
+                    try:
+                        util["drain_split"] = _drain_split(eng_nv, peaks)
+                    except Exception as e:
+                        util["drain_split"] = {
+                            "error": f"{type(e).__name__}: {e}"[:200]
+                        }
                 return (
                     round(n_nv / e_nv / n_chips, 3),
                     {k: float(np.mean(v)) for k, v in per_cut.items()},
@@ -483,7 +537,7 @@ def main():
             # r3 #2 keep-threshold >5%); the unfolded run stays recorded
             # as the A/B baseline.
             thr_bf16, lsd_bf16, util_bf16 = _nvsr_run(
-                jnp.bfloat16, **nv_cfg_bf16, fold_bn=True
+                jnp.bfloat16, **nv_cfg_bf16, fold_bn=True, marginal=True
             )
             thr_f32, lsd_f32, util_f32 = _nvsr_run(None, **nv_cfg_f32)
             _log("nvsr fold_bn A/B (unfolded baseline)")
@@ -629,6 +683,19 @@ def main():
                     "baseline_utt_per_s": round(base_utt_per_s, 4),
                     "v5e8_extrapolated_vs_baseline": round(vs_baseline * 8, 1),
                     "headline_utilization": headline_util,
+                    # Weather-immune trend metrics (VERDICT r4 #3):
+                    # pipelined marginal ms/batch of the compiled fused
+                    # programs on device-resident args — compare these
+                    # across rounds, not utt/s (tunnel-weather-dominated).
+                    "headline_marginal_ms_per_batch": drain_split.get(
+                        "pipelined_marginal_ms_per_call"
+                    ),
+                    "nvsr_marginal_ms_per_batch_bf16": (
+                        (nvsr_detail.get("utilization_bf16") or {})
+                        .get("drain_split", {})
+                        .get("pipelined_marginal_ms_per_call")
+                    ),
+                    "baseline_pinned": pinned is not None,
                     "max_abs_delta_wellconditioned": max_delta_wc,
                     "nvsr_utt_per_s_per_chip_bf16": nvsr_detail.get(
                         "utt_per_s_per_chip_bf16"

@@ -55,7 +55,7 @@ def _force(o):
 
 def main():
     factors = [
-        a if a == "flat" else int(a) for a in sys.argv[1:]
+        a if a in ("flat", "single") else int(a) for a in sys.argv[1:]
     ] or [1, 2, 7, "flat"]
     tmp = tempfile.mkdtemp(prefix="ssr_unroll_ab_")
     paths = bench._make_dataset(tmp, bench.BATCH)
@@ -68,6 +68,8 @@ def main():
     for u in factors:
         if u == "flat":
             eng = bench._engine(specs, BatchedTestee(), spec_flat=True)
+        elif u == "single":
+            eng = bench._engine(specs, BatchedTestee(), spec_single=True)
         else:
             eng = bench._engine(specs, BatchedTestee(), spec_unroll=u)
         t0 = time.perf_counter()

@@ -109,6 +109,26 @@ def _spec_map(f, xs, unroll: int):
     return jax.lax.scan(lambda c, x: (c, f(x)), None, xs, unroll=unroll)[1]
 
 
+def _spec_single_env():
+    """SSR_EVAL_TPU_SPEC_SINGLE tri-state: None (unset — the engine then
+    follows the testee's infer_cost_hint), else the usual flag semantics.
+
+    Single mode = ONE fused lax.map over the spec axis (degrade -> infer
+    -> score per loop trip), so the [S, B, L] degraded/inferred blocks
+    never materialize in HBM and the loop carries only the [4, B] metric
+    slice.  Measured on-chip (r5, interleaved): 83.6 vs 85.7 ms/batch
+    fused marginal, metrics bit-identical.  It trades away the folded
+    (G*B-row) model call — right for cheap testees (the identity
+    headline), wrong for big models whose per-op dispatch the fold
+    amortizes (NVSR: measured, DESIGN.md)."""
+    import os
+
+    v = os.environ.get("SSR_EVAL_TPU_SPEC_SINGLE")
+    if v is None:
+        return None
+    return v not in ("0", "false", "")
+
+
 def _spec_flat() -> bool:
     """Flatten the fused program's spec axis into the leading batch dim.
 
@@ -159,6 +179,7 @@ class EvalEngine:
         wire_codec=None,
         spec_unroll=None,
         spec_flat=None,
+        spec_single=None,
     ):
         self.specs = list(specs)
         self.input_sr = int(input_sr)
@@ -222,6 +243,23 @@ class EvalEngine:
         # Spec-axis flattening (see _spec_flat); None -> env default.
         # Takes precedence over spec_unroll (there is no loop to unroll).
         self.spec_flat = _spec_flat() if spec_flat is None else bool(spec_flat)
+        # Single fused spec loop (see _spec_single_env); precedence:
+        # ctor > env > the testee's infer_cost_hint ("cheap" testees
+        # default ON — measured faster with bit-identical metrics;
+        # "model" testees keep the folded-call loop).  single > flat >
+        # unroll in the compile key.
+        if spec_single is None:
+            spec_single = _spec_single_env()
+        if spec_single is None:
+            # Auto default — only when no other loop structure was asked
+            # for (an explicit flat/unroll experiment must get what it
+            # requested).
+            spec_single = (
+                not self.spec_flat
+                and self.spec_unroll == 1
+                and getattr(testee, "infer_cost_hint", "model") == "cheap"
+            )
+        self.spec_single = bool(spec_single)
 
     def _fused_key(self, fkey, native_sr, lnat, wire=None):
         """The ONE constructor for fused compile/cost keys, shared by
@@ -232,7 +270,9 @@ class EvalEngine:
         key = ("fused", fkey, native_sr, lnat)
         if wire is not None:
             key = key + ((wire.bits, wire.order),)
-        if self.spec_flat:
+        if self.spec_single:
+            key = key + (("single",),)
+        elif self.spec_flat:
             key = key + (("flat",),)
         elif self.spec_unroll > 1:
             key = key + (("unroll", self.spec_unroll),)
@@ -404,6 +444,11 @@ class EvalEngine:
 
                 ctx_axis = None if ctx is None else 0
 
+                if self.spec_single:
+                    return single_tail(
+                        x_in, n_in, ctx, ctx_axis, params_stacked, testee_state,
+                        tgt_sp, min_len, t_uy, t_uyy,
+                    )
                 if self.spec_flat:
                     return flat_tail(
                         x_in, n_in, ctx, ctx_axis, params_stacked, testee_state,
@@ -493,6 +538,49 @@ class EvalEngine:
                     return mstack, ye, ne
 
                 return _spec_map(score_spec, (y_all, ny_all), unroll)
+
+            def single_tail(
+                x_in, n_in, ctx, ctx_axis, params_stacked, testee_state,
+                tgt_sp, min_len, t_uy, t_uyy,
+            ):
+                """ONE lax.map over specs running the whole
+                degrade -> infer -> score chain per trip.  The [S, B, L]
+                degraded/inferred blocks never hit HBM as loop-carried
+                state — only the [4, B] metric slice (and, when audio is
+                wanted, the [B, Leval] slice) threads through — removing
+                two of the three spec loops and their stacked-output
+                dynamic-update-slice traffic.  The model call is B rows
+                per trip (NOT the folded G*B call — see _spec_single's
+                gating note)."""
+
+                def per_spec(params):
+                    d = jax.vmap(deg_apply, in_axes=(ctx_axis, 0, 0, None))(
+                        ctx, x_in, n_in, params
+                    )  # [B, Lin]
+                    y, ny = infer_batch(d, n_in, testee_state)
+                    lout = y.shape[1]  # static at trace time
+                    out_plan = resample_poly_plan(
+                        self.output_sr, self.evaluation_sr, lout
+                    )
+                    leval = int(out_plan.out_length(lout))
+                    Wo = jnp.asarray(out_plan.Wd)
+
+                    def score(yy, nyy, sp, ml, uy, uyy):
+                        ye, ne = apply_resample(yy, nyy, out_plan, leval, Wo)
+                        m = spectral_metrics_with_target(
+                            ye, ml, sp, cfg, mf, tgt_ssim_moments=(uy, uyy)
+                        )
+                        return m, ye, ne
+
+                    m, ye, ne = jax.vmap(score)(
+                        y, ny, tgt_sp, min_len, t_uy, t_uyy
+                    )
+                    mstack = jnp.stack([m[k] for k in METRIC_KEYS])  # [4, B]
+                    if not self.want_fused_audio:
+                        return mstack
+                    return mstack, ye, ne
+
+                return jax.lax.map(per_spec, params_stacked)
 
             def flat_tail(
                 x_in, n_in, ctx, ctx_axis, params_stacked, testee_state,

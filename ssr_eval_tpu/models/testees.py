@@ -81,6 +81,9 @@ class NVSRTestee(BatchedTestee):
     """Generator + vocoder inference (reference main.py:96-109)."""
 
     jittable = True
+    # Big conv stacks: keep the folded G*B-row model call (the engine's
+    # single-spec-loop default is for cheap testees only).
+    infer_cost_hint = "model"
 
     def __init__(self, model_name="unet", params=None, seed=234, ckpt=None,
                  dtype=None, param_dtype=None, fold_bn=False):

@@ -32,6 +32,9 @@ def _dataset(tmp_path, n):
 def _engine(specs, flat, **kw):
     kw.setdefault("testee", BatchedTestee())
     kw.setdefault("batch_size", 2)
+    # pin the loop structure under test (cheap testees otherwise
+    # auto-default to the single fused loop)
+    kw.setdefault("spec_single", False)
     return EvalEngine(
         specs,
         input_sr=SR,
@@ -163,6 +166,71 @@ def test_flat_mesh_equals_unsharded(tmp_path):
     _assert_equivalent(r_ref, r_mesh, tol=1e-4)
 
 
+def test_single_equals_lax_map_all_families(tmp_path):
+    """spec_single (one fused loop, per-spec B-row infer) must match the
+    three-loop path across fft + IIR + subsampling."""
+    paths = _dataset(tmp_path, 2)
+    specs = expand_settings(
+        setting_fft={"cutoff_freq": [2000, 8000]},
+        setting_lowpass_filtering={
+            "filter": ["butter"], "cutoff_freq": [6000], "filter_order": [6],
+        },
+        setting_subsampling={"cutoff_freq": [4000]},
+        sr=SR,
+    )
+    r_map = _flat_results(_engine(specs, flat=False).evaluate_files(paths))
+    eng = _engine(specs, flat=False, spec_single=True)
+    r_one = _flat_results(eng.evaluate_files(paths))
+    _assert_equivalent(r_map, r_one)
+    assert [k for k in eng._cost_calls if k[0] == "fused" and ("single",) in k]
+
+
+def test_single_saved_audio_and_mesh(tmp_path):
+    """spec_single with saved audio (the [B, Leval] slice threads the
+    loop) and under the data mesh."""
+    import shutil
+
+    import jax
+
+    from ssr_eval_tpu.io.audio import decode_audio
+    from ssr_eval_tpu.parallel.mesh import data_mesh
+
+    paths = _dataset(tmp_path, 2)
+    specs = expand_settings(setting_fft={"cutoff_freq": [4000, 8000]}, sr=SR)
+    out_a = tmp_path / "sa"
+    out_b = tmp_path / "sb"
+    for d in (out_a, out_b):
+        d.mkdir()
+    pa = [shutil.copy(p, out_a) for p in paths]
+    pb = [shutil.copy(p, out_b) for p in paths]
+    ra = _engine(specs, flat=False, save_processed_result=True,
+                 test_name="t").evaluate_files(pa)
+    rb = _engine(specs, flat=False, spec_single=True,
+                 save_processed_result=True, test_name="t").evaluate_files(pb)
+    for i in range(len(pa)):
+        for s in specs:
+            assert ra[pa[i]][s.key] == pytest.approx(
+                rb[pb[i]][s.key], abs=1e-5
+            )
+            xa, _ = decode_audio(pa[i] + s.key + "_processed_t.wav")
+            xb, _ = decode_audio(pb[i] + s.key + "_processed_t.wav")
+            np.testing.assert_allclose(xa, xb, atol=1e-5)
+    if len(jax.devices()) >= 2:
+        r_mesh = _flat_results(
+            _engine(
+                specs, flat=False, spec_single=True, batch_size=2,
+                mesh=data_mesh(jax.devices()[:2]),
+            ).evaluate_files(paths)
+        )
+        _assert_equivalent(
+            _flat_results(
+                _engine(specs, flat=False, spec_single=True).evaluate_files(paths)
+            ),
+            r_mesh,
+            tol=1e-4,
+        )
+
+
 def test_flat_default_env_and_precedence(monkeypatch):
     """Default off; env turns it on when the ctor leaves None; flat wins
     over unroll in the compile key."""
@@ -180,3 +248,35 @@ def test_flat_default_env_and_precedence(monkeypatch):
     assert ("flat",) in key and not any(
         isinstance(p, tuple) and p and p[0] == "unroll" for p in key
     )
+    # single wins over flat and unroll in the key
+    eng.spec_single = True
+    key = eng._fused_key(("fft",), SR, 1024)
+    assert ("single",) in key and ("flat",) not in key
+
+    # auto default: cheap testees (identity BatchedTestee) pick the
+    # single loop; model-hinted testees keep the folded-call loop; any
+    # explicit structure request suppresses the auto.
+    monkeypatch.delenv("SSR_EVAL_TPU_SPEC_FLAT", raising=False)
+    monkeypatch.delenv("SSR_EVAL_TPU_SPEC_SINGLE", raising=False)
+    auto = EvalEngine(
+        specs, input_sr=SR, output_sr=SR, evaluation_sr=SR,
+        testee=BatchedTestee(), batch_size=2,
+    )
+    assert auto.spec_single is True
+
+    class ModelHinted(BatchedTestee):
+        infer_cost_hint = "model"
+
+    assert EvalEngine(
+        specs, input_sr=SR, output_sr=SR, evaluation_sr=SR,
+        testee=ModelHinted(), batch_size=2,
+    ).spec_single is False
+    assert _engine(specs, flat=True, spec_single=None).spec_single is False
+    assert _engine(specs, flat=False, spec_unroll=2,
+                   spec_single=None).spec_single is False
+    monkeypatch.setenv("SSR_EVAL_TPU_SPEC_SINGLE", "0")
+    auto2 = EvalEngine(
+        specs, input_sr=SR, output_sr=SR, evaluation_sr=SR,
+        testee=BatchedTestee(), batch_size=2,
+    )
+    assert auto2.spec_single is False

@@ -37,6 +37,9 @@ def _engine(specs, unroll, **kw):
         testee=BatchedTestee(),
         batch_size=2,
         spec_unroll=unroll,
+        # pin the loop structure under test (cheap testees otherwise
+        # auto-default to the single fused loop)
+        spec_single=False,
         **kw,
     )
 
