@@ -532,25 +532,23 @@ def main():
             # bf16 is the benched default config (VERDICT r2 #2): it is
             # the recommended production dtype on TPU (f32 kept for the
             # accuracy cross-check and as the conservative fallback).
-            # fold_bn is the benched inference default since r4: the A/B
-            # measured +5.4% at |dLSD| 1.6e-4 on the real chip (VERDICT
-            # r3 #2 keep-threshold >5%); the unfolded run stays recorded
-            # as the A/B baseline.
+            # fold_bn default: OFF since r5.  Adjudicated by the
+            # interleaved one-process A/B (scripts/foldbn_ab.py, real
+            # chip, pipelined marginal on device-resident args): folded
+            # 431.3 vs unfolded 432.9 ms/call = +0.36%, NEUTRAL (r3's
+            # keep-threshold is 5%; r4's sequential whole-pass A/Bs that
+            # swung +31%/-13%/+5.4% were tunnel weather).  The fold stays
+            # available (fold_bn=True) and exactness-tested.
             thr_bf16, lsd_bf16, util_bf16 = _nvsr_run(
-                jnp.bfloat16, **nv_cfg_bf16, fold_bn=True, marginal=True
+                jnp.bfloat16, **nv_cfg_bf16, marginal=True
             )
             thr_f32, lsd_f32, util_f32 = _nvsr_run(None, **nv_cfg_f32)
-            _log("nvsr fold_bn A/B (unfolded baseline)")
-            thr_bf16_unfold, lsd_unfold, _ = _nvsr_run(
-                jnp.bfloat16, **nv_cfg_bf16
-            )
             nvsr_detail = {
-                "dtype_default": "bf16+fold_bn",
+                "dtype_default": "bf16",
                 "utt_per_s_per_chip_bf16": thr_bf16,
-                "utt_per_s_per_chip_bf16_unfolded": thr_bf16_unfold,
-                "fold_bn_speedup": round(thr_bf16 / thr_bf16_unfold, 4),
-                "max_abs_dLSD_fold_bn": round(
-                    max(abs(lsd_unfold[k] - lsd_bf16[k]) for k in lsd_bf16), 6
+                "fold_bn": (
+                    "neutral (+0.36% marginal, interleaved on-chip A/B "
+                    "r5 — scripts/foldbn_ab.py); default off"
                 ),
                 "utt_per_s_per_chip_f32": thr_f32,
                 "utilization_bf16": util_bf16,
