@@ -53,6 +53,15 @@ def save_variables(path: str, variables) -> str:
         return path if path.endswith(".npz") else path + ".npz"
 
 
+def save_variables_npz(path: str, variables) -> str:
+    """Force the single-file .npz format (portable, diff-able — the right
+    shape for artifacts checked into the repo; Orbax writes a directory)."""
+    flat = _flatten(jax.device_get(variables))
+    p = path if path.endswith(".npz") else path + ".npz"
+    np.savez(p, **flat)
+    return p
+
+
 def restore_variables(path: str):
     if path.endswith(".npz") or (not os.path.isdir(path) and os.path.exists(path + ".npz")):
         p = path if path.endswith(".npz") else path + ".npz"

@@ -158,6 +158,33 @@ class NVSRTestee(BatchedTestee):
             self._dev_state = None
         return variables
 
+    def load_generator_checkpoint(self, path):
+        """Graft a natively-trained generator tree (models/train.py state,
+        saved via models/checkpoint.py) into this testee's variables —
+        the symmetric counterpart of `load_vocoder_checkpoint` for the
+        framework's own training path.  The saved tree is
+        {"params": {"generator": ...}, "batch_stats": {"generator": ...}}
+        (NVSR.__call__ traces the generator only)."""
+        from ssr_eval_tpu.models.checkpoint import restore_variables
+
+        if getattr(self.model, "fold_bn", False):
+            raise ValueError(
+                "load_generator_checkpoint grafts an UNFOLDED generator "
+                "tree; construct the testee with fold_bn=False (fold after "
+                "loading via models/fold_bn.fold_nvsr_bn if needed)."
+            )
+        tree = restore_variables(path)
+        v = dict(self.variables)
+        p = dict(v.get("params", {}))
+        p["generator"] = tree["params"]["generator"]
+        v["params"] = p
+        if tree.get("batch_stats"):
+            bs = dict(v.get("batch_stats", {}))
+            bs["generator"] = tree["batch_stats"]["generator"]
+            v["batch_stats"] = bs
+        self.variables = v
+        self._dev_state = None
+
     def load_vocoder_checkpoint(self, path, cfg=None, check=True,
                                 check_threshold=0.5):
         """Graft a voicefixer-structure vocoder state dict (torch) into

@@ -110,6 +110,57 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
 
 
+def test_checkpoint_npz_roundtrip(tmp_path):
+    """save_variables_npz forces the single-file format (checked-in
+    artifacts must not be Orbax directories) and round-trips exactly."""
+    from ssr_eval_tpu.models.checkpoint import save_variables_npz
+    from ssr_eval_tpu.models.nvsr import Generator
+
+    import jax.numpy as jnp
+
+    model = Generator(model_name="dnn")
+    mel = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (1, 16, 128))) + 1e-3
+    variables = model.init(jax.random.PRNGKey(1), mel, train=False)
+    p = save_variables_npz(str(tmp_path / "ckpt"), variables)
+    assert p.endswith(".npz") and os.path.isfile(p)
+    restored = restore_variables(p)
+    out1 = model.apply(variables, mel, train=False)["mel"]
+    out2 = model.apply(restored, mel, train=False)["mel"]
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_load_generator_checkpoint_grafts_and_guards(tmp_path):
+    """load_generator_checkpoint swaps ONLY the generator subtree (the
+    vocoder subtree is untouched) and refuses fold_bn testees."""
+    from ssr_eval_tpu.models.checkpoint import save_variables_npz
+    from ssr_eval_tpu.models.testees import NVSRTestee
+
+    src = NVSRTestee(model_name="dnn", seed=3)
+    ckpt = save_variables_npz(
+        str(tmp_path / "gen"),
+        {
+            "params": {"generator": src.variables["params"]["generator"]},
+            "batch_stats": {
+                "generator": src.variables["batch_stats"]["generator"]
+            },
+        },
+    )
+    dst = NVSRTestee(model_name="dnn", seed=4)
+    voc_before = jax.tree_util.tree_leaves(dst.variables["params"]["vocoder"])
+    dst.load_generator_checkpoint(ckpt)
+    g_src = jax.tree_util.tree_leaves(src.variables["params"]["generator"])
+    g_dst = jax.tree_util.tree_leaves(dst.variables["params"]["generator"])
+    for a, b in zip(g_src, g_dst):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    voc_after = jax.tree_util.tree_leaves(dst.variables["params"]["vocoder"])
+    for a, b in zip(voc_before, voc_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    folded = NVSRTestee(model_name="dnn", seed=5, fold_bn=True)
+    with pytest.raises(ValueError, match="UNFOLDED"):
+        folded.load_generator_checkpoint(ckpt)
+
+
 def test_engine_stage_timers_disjoint(tmp_path):
     """decode/compile/dispatch/drain are disjoint and sum to ~the wall
     time of evaluate_files (VERDICT r1 weak #4: no double counting)."""
