@@ -15,8 +15,20 @@ from __future__ import annotations
 
 import ctypes
 import functools
+import threading
 
 import numpy as np
+
+# libmp3lame is NOT thread-safe: the lame_* encoder and hip_* decoder
+# share library-global tables, and concurrent encode+decode calls from
+# the engine's codec pool produced nondeterministic PCM (observed as
+# run-to-run metric changes on one utterance per batch — caught by
+# tests/test_mp3.py's device-vs-host equality in r5).  Per-call handles
+# (gfp/hip) are not enough; ALL entry into the library is serialized
+# here.  Codec work still overlaps device compute and host decode (the
+# lock only serializes codec-vs-codec), and the CLI fallbacks keep full
+# parallelism (separate processes).
+_lame_lock = threading.Lock()
 
 _LIB_NAMES = ("libmp3lame.so.0", "libmp3lame.so", "libmp3lame.dylib")
 
@@ -107,6 +119,11 @@ def encode_mp3(x: np.ndarray, sr: int, kbps: int) -> bytes:
     pcm = np.clip(np.round(x.astype(np.float64) * 32768.0), -32768, 32767).astype(
         np.int16
     )
+    with _lame_lock:
+        return _encode_locked(lib, pcm, sr, kbps)
+
+
+def _encode_locked(lib, pcm, sr, kbps):
     gfp = lib.lame_init()
     if not gfp:
         raise RuntimeError("lame_init failed")
@@ -150,6 +167,11 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     lib = _lib()
     if lib is None:
         raise RuntimeError("libmp3lame is not available")
+    with _lame_lock:
+        return _decode_locked(lib, data)
+
+
+def _decode_locked(lib, data):
     hip = lib.hip_decode_init()
     if not hip:
         raise RuntimeError("hip_decode_init failed")

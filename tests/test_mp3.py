@@ -157,6 +157,28 @@ def test_lame_reject_falls_back_or_errors_cleanly(monkeypatch):
     assert out.shape == x.shape
 
 
+def test_codec_thread_determinism():
+    """Concurrent encode+decode round trips must be bit-identical to
+    serial ones.  libmp3lame shares library-global tables between the
+    lame_* encoder and hip_* decoder — without the module lock in
+    io/mp3_lame.py, the engine's codec pool produced run-to-run PCM
+    differences on one utterance per batch (caught in r5 as a
+    device-vs-host metric mismatch)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    sr = 44100
+    xs = [_sig(int(0.4 * sr), seed=30 + i) for i in range(3)]
+
+    def rt(x):
+        return mp3_lame.decode_mp3(mp3_lame.encode_mp3(x, sr, 32))[0]
+
+    ref = [rt(x).tobytes() for x in xs]
+    for _ in range(4):
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            outs = list(ex.map(rt, xs))
+        assert [o.tobytes() for o in outs] == ref
+
+
 def test_mp3_device_testee_batched_scoring(tmp_path):
     """VERDICT r3 #5: an mp3 spec with a DEVICE testee routes the whole
     codec-degraded batch through ONE fused infer->resample->metrics
