@@ -163,6 +163,8 @@ class UNetRes(nn.Module):
 def UNetResComplex_100Mb(channels: int = 1, **kw):
     """Reference-named constructor (examples/NVSR/components/unet.py:414):
     the 6-level Res4B UNet with the published widths.  Returns a UNetRes
-    configured identically; `unet_small`'s Res1B variant is the same
-    module with blocks_per_group=1."""
+    configured identically; `unet_small`'s Res1B variant maps to the
+    SAME configuration (the reference's unet_small.py is a class-rename
+    of unet.py — see the module docstring; structural equality asserted
+    by tests/test_examples.py)."""
     return UNetRes(channels=channels, **kw)
