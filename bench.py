@@ -313,6 +313,12 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def _dsp_precision_name() -> str:
+    from ssr_eval_tpu.dsp.precision import dsp_precision
+
+    return str(dsp_precision()).split(".")[-1].lower()
+
+
 def main():
     if os.environ.get("SSR_BENCH_CPU", "0") not in ("0", "false", ""):
         # Machinery validation off-chip (pairs with SSR_BENCH_QUICK; the
@@ -651,6 +657,9 @@ def main():
         "iir_subsampling_matrix": iir_detail,
         "mp3": mp3_detail,
         "pallas_ab": pallas_ab,
+        # FFT/DFT matmul bf16 pass policy in effect for this run
+        # (dsp/precision.py; benched default "high" — DESIGN.md A/B)
+        "dsp_precision": _dsp_precision_name(),
         "n_chips": n_chips,
         "backend": jax.default_backend(),
         # Cumulative over EVERYTHING this engine ran (warmup + all timed

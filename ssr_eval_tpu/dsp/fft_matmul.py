@@ -19,8 +19,10 @@ dsp.spectral for power-of-2 sizes; non-power-of-2 metric sizes (2229 @
 48 kHz) keep the dense-DFT path.
 
 Accuracy: twiddles and base matrices are built in float64 and cast to
-f32; matmuls run at Precision.HIGHEST.  Agreement with np.fft.rfft is
-~1e-7 relative (tests/test_spectral.py::test_ct_fft_*).
+f32; base-matmul precision follows dsp/precision.py (benched default
+HIGH = 3 bf16 passes; max |dLSD| impact 5.5e-5 vs HIGHEST's 2.0e-6 —
+scripts/fftprec_ab.py).  Agreement with np.fft.rfft is ~1e-7 relative
+in f32-exact mode (tests/test_spectral.py::test_ct_fft_*).
 
 Scope: measured on v5e, CT wins decisively at STFT sizes (n_fft=2048:
 0.44 ms vs 2.6 ms XLA rfft per 8x604-frame batch) but LOSES at very
@@ -38,6 +40,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from ssr_eval_tpu.dsp.precision import dsp_precision
 
 
 def _default_base() -> int:
@@ -57,7 +61,6 @@ def _default_base() -> int:
 
 
 _BASE = _default_base()
-_HI = jax.lax.Precision.HIGHEST
 
 
 def ct_levels(n_fft: int, base: int | None = None):
@@ -187,15 +190,16 @@ def _fft_from_leaves(lr, li, L: int, M: int):
     (natural order; li=None for real leaves)."""
     cr_np, ci_np = _base_dft(M)
     cr, ci = jnp.asarray(cr_np), jnp.asarray(ci_np)
+    _hi = dsp_precision()
     if li is None:
-        re = jnp.dot(lr, cr, preferred_element_type=jnp.float32, precision=_HI)
-        im = jnp.dot(lr, ci, preferred_element_type=jnp.float32, precision=_HI)
+        re = jnp.dot(lr, cr, preferred_element_type=jnp.float32, precision=_hi)
+        im = jnp.dot(lr, ci, preferred_element_type=jnp.float32, precision=_hi)
     else:
-        re = jnp.dot(lr, cr, preferred_element_type=jnp.float32, precision=_HI) - jnp.dot(
-            li, ci, preferred_element_type=jnp.float32, precision=_HI
+        re = jnp.dot(lr, cr, preferred_element_type=jnp.float32, precision=_hi) - jnp.dot(
+            li, ci, preferred_element_type=jnp.float32, precision=_hi
         )
-        im = jnp.dot(lr, ci, preferred_element_type=jnp.float32, precision=_HI) + jnp.dot(
-            li, cr, preferred_element_type=jnp.float32, precision=_HI
+        im = jnp.dot(lr, ci, preferred_element_type=jnp.float32, precision=_hi) + jnp.dot(
+            li, cr, preferred_element_type=jnp.float32, precision=_hi
         )
     return _combine(re, im, L, M)
 

@@ -182,9 +182,12 @@ def stft_real_imag(
         # FLOPs than the dense rDFT, all of them MXU-shaped).
         real, imag = rfft_ct(fr, cfg.n_fft)
     elif _use_matmul_dft(cfg.n_fft):
+        from ssr_eval_tpu.dsp.precision import dsp_precision
+
         wr, wi = _dft_matrices(cfg.n_fft)
-        real = jnp.dot(fr, jnp.asarray(wr), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        imag = jnp.dot(fr, jnp.asarray(wi), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        _hi = dsp_precision()
+        real = jnp.dot(fr, jnp.asarray(wr), preferred_element_type=jnp.float32, precision=_hi)
+        imag = jnp.dot(fr, jnp.asarray(wi), preferred_element_type=jnp.float32, precision=_hi)
     else:
         z = jnp.fft.rfft(fr, n=cfg.n_fft, axis=-1)
         real, imag = jnp.real(z), jnp.imag(z)
@@ -321,9 +324,12 @@ def istft(
         scale[0] = 1.0
         if cfg.n_fft % 2 == 0:
             scale[-1] = 1.0
+        from ssr_eval_tpu.dsp.precision import dsp_precision
+
+        _hi = dsp_precision()
         fr = (
-            jnp.dot(real * jnp.asarray(scale), jnp.asarray(wr.T), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-            + jnp.dot(imag * jnp.asarray(scale), jnp.asarray(wi.T), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            jnp.dot(real * jnp.asarray(scale), jnp.asarray(wr.T), preferred_element_type=jnp.float32, precision=_hi)
+            + jnp.dot(imag * jnp.asarray(scale), jnp.asarray(wi.T), preferred_element_type=jnp.float32, precision=_hi)
         ) / cfg.n_fft
     else:
         fr = jnp.fft.irfft(real + 1j * imag, n=cfg.n_fft, axis=-1)

@@ -41,7 +41,8 @@ def compiled_cost(jitted, args) -> dict:
 
 # Datasheet peaks per chip: (dense bf16 TFLOP/s, HBM GB/s).  float32
 # has no MXU datasheet number — XLA runs f32 matmuls as bf16 multi-pass
-# (and this repo's DSP requests Precision.HIGHEST = 6 passes), so MFU is
+# (this repo's FFT/DFT matmuls request the benched default HIGH = 3
+# passes, other DSP matmuls HIGHEST = 6; dsp/precision.py), so MFU is
 # reported against the bf16 peak for every dtype: it is the one
 # well-defined hardware ceiling.
 _PEAKS = {

@@ -223,3 +223,40 @@ def test_wss_closed_form_matches_masked_ola(cfg, frac):
     Wpad = np.concatenate([np.zeros(total, np.float32), W])
     got = W - Wpad[total - nf * cfg.hop : 2 * total - nf * cfg.hop]
     np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_dsp_precision_env_plumbing(monkeypatch):
+    """SSR_EVAL_TPU_DSP_PRECISION maps to the lax.Precision levels (read
+    at TRACE time by the CT base-DFT / dense-DFT matmuls); unknown or
+    unset values fall back to the benched default HIGH (dsp/precision.py
+    — adjudicated by the interleaved on-chip A/B, scripts/fftprec_ab.py).
+    Precision only changes MXU pass counts on TPU — on the CPU test
+    backend results are identical, so this pins the plumbing and the
+    numerics-neutral path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssr_eval_tpu.dsp.fft_matmul import rfft_ct
+    from ssr_eval_tpu.dsp.precision import dsp_precision
+
+    monkeypatch.delenv("SSR_EVAL_TPU_DSP_PRECISION", raising=False)
+    assert dsp_precision() == jax.lax.Precision.HIGH
+    monkeypatch.setenv("SSR_EVAL_TPU_DSP_PRECISION", "highest")
+    assert dsp_precision() == jax.lax.Precision.HIGHEST
+    monkeypatch.setenv("SSR_EVAL_TPU_DSP_PRECISION", "HIGH")
+    assert dsp_precision() == jax.lax.Precision.HIGH
+    monkeypatch.setenv("SSR_EVAL_TPU_DSP_PRECISION", "default")
+    assert dsp_precision() == jax.lax.Precision.DEFAULT
+    monkeypatch.setenv("SSR_EVAL_TPU_DSP_PRECISION", "bogus")
+    assert dsp_precision() == jax.lax.Precision.HIGH
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 2048)), jnp.float32)
+    monkeypatch.setenv("SSR_EVAL_TPU_DSP_PRECISION", "high")
+    re_h, im_h = (np.asarray(a) for a in rfft_ct(x, 2048))
+    monkeypatch.delenv("SSR_EVAL_TPU_DSP_PRECISION")
+    re, im = (np.asarray(a) for a in rfft_ct(x, 2048))
+    ref = np.fft.rfft(np.asarray(x, np.float64), axis=-1)
+    scale = np.abs(ref).max()
+    for r, i in ((re_h, im_h), (re, im)):
+        assert np.max(np.abs(r - ref.real)) / scale < 1e-6
+        assert np.max(np.abs(i - ref.imag)) / scale < 1e-6
