@@ -4,8 +4,9 @@ XLA's generic FFT lowering is slow on TPU, and a dense rDFT matmul does
 n_fft * n_bins MACs per frame (the round-1 design).  This module factors a
 power-of-2 FFT as
 
-    N = 2^L * M   (M = the MXU base width, default 256 — see
-    _default_base for the measured 128/256/512/1024 A/B)
+    N = 2^L * M   (M = the MXU base width, default 512 under the HIGH
+    precision policy — see _default_base for the measured
+    128/256/512/1024 A/Bs at each precision era)
 
 - the 2^L interleaved leaf sequences (bit-reversed order) go through ONE
   batched [*, M] @ [M, M] DFT matmul pair (cos/sin), a shape the 128x128
@@ -47,17 +48,24 @@ from ssr_eval_tpu.dsp.precision import dsp_precision
 def _default_base() -> int:
     """MXU base-DFT width: each radix-2 level above the base is one full
     re+im HBM read+write pass over the frame block, so a wider base
-    trades (cheap, MXU) matmul FLOPs for (scarce) HBM passes.  Default
-    256 by interleaved A/B on the real chip (fused headline program,
-    synced call, stable to ~1 ms across rounds): 128->140 ms,
-    256->131 ms, 512->185 ms, 1024->155 ms — past 256 the HIGHEST-
-    precision base matmul's FLOPs (linear in base) overtake the saved
-    butterfly passes.  SSR_EVAL_TPU_CT_BASE overrides for A/B."""
+    trades (cheap, MXU) matmul FLOPs for (scarce) HBM passes.  The
+    optimum depends on the matmul PRECISION policy (dsp/precision.py):
+    every halving of the bf16 pass count re-prices the trade, so the
+    base is re-adjudicated whenever the precision default moves
+    (scripts/ctbase_ab.py, interleaved on-chip, fused headline program):
+    - Precision.HIGHEST era (r4, 6 passes): 128->140, 256->131,
+      512->185, 1024->155 ms/call — 256 won.
+    - Precision.HIGH default (r5, 3 passes): 128->81.8, 256->79.1,
+      512->**75.6**, 1024->84.3 ms/batch marginal — halved matmul cost
+      buys one more saved butterfly pass; 512 wins (-4.5%), accuracy
+      gate equal to 256 vs the f64 oracle (scripts/ctbase_acc.py:
+      lsd 5.6e-5 vs 5.5e-5, ssim 2.1e-6 vs 2.3e-6).
+    SSR_EVAL_TPU_CT_BASE overrides for A/B."""
     try:
-        b = int(os.environ.get("SSR_EVAL_TPU_CT_BASE", "256") or "256")
+        b = int(os.environ.get("SSR_EVAL_TPU_CT_BASE", "512") or "512")
     except ValueError:
-        b = 256
-    return b if b in (128, 256, 512, 1024) else 256
+        b = 512
+    return b if b in (128, 256, 512, 1024) else 512
 
 
 _BASE = _default_base()
