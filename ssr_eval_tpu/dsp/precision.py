@@ -27,6 +27,12 @@ remains the exact host path.
 
 Read at TRACE time: engines jit per-instance, so an A/B can build one
 engine per env setting in a single process.
+
+Coupling: the CT MXU base width's optimum depends on this policy (the
+pass count re-prices base-matmul FLOPs vs butterfly HBM passes) —
+re-run scripts/ctbase_ab.py whenever the default here moves
+(fft_matmul._default_base records both eras: 256 at HIGHEST, 512 at
+HIGH).
 """
 
 from __future__ import annotations
