@@ -15,9 +15,14 @@ power-of-2 FFT as
   them — pure VPU elementwise work that XLA fuses.
 
 FLOPs per frame drop from N*(N/2+1)*4 (dense rDFT) to N*M*4 + O(L*N):
-~8x fewer at N=2048, while every matmul stays MXU-shaped.  Used by
-dsp.spectral for power-of-2 sizes; non-power-of-2 metric sizes (2229 @
-48 kHz) keep the dense-DFT path.
+~8x fewer at N=2048, while every matmul stays MXU-shaped.  NOTE (r5):
+fewer FLOPs stopped being the right objective for the STFT sites — the
+fused sweep is transform-PASS bound, and the dense rDFT (zero butterfly
+/untangle passes) measured 22.6% faster end-to-end at HIGH precision
+(scripts/rfftmode_ab.py), so dsp.spectral now routes STFT sizes dense
+by default (_default_rfft_mode) and this module serves the FFT-conv
+filter path (dsp/filters.py block transforms), the Pallas kernel's CT
+plan, and the "pack"/"direct" experiment modes.
 
 Accuracy: twiddles and base matrices are built in float64 and cast to
 f32; base-matmul precision follows dsp/precision.py (benched default
@@ -69,6 +74,42 @@ def _default_base() -> int:
 
 
 _BASE = _default_base()
+
+
+def _default_rfft_mode() -> str:
+    """How the real-input forward/inverse transforms are factored:
+
+    - "pack": half-size complex CT + Hermitian untangle (r4 default).
+      Halves every butterfly level, but the untangle's mirror is a
+      lane-axis `reverse` — a retiling-slow op on TPU (~1.3 ms per
+      [16,744,1152] flip, device trace r5).
+    - "direct": full-size CT with real leaves (forward) / Hermitian
+      extension (inverse).  No untangle; at base 512 the forward has a
+      single radix-4 butterfly level.  The inverse still pays extension
+      reverses.
+    - "dense": no CT at all at the STFT sites — the dense rDFT matmul
+      pair (the same path non-power-of-2 sizes use, spectral.py).  4x
+      the matmul FLOPs of direct at n_fft=2048/base=512, but ZERO
+      butterfly/untangle/extension passes AND none of the CT leaf
+      retilings that dominated the trace's copy/reshape bucket;
+      spectral.stft/istft route around CT when this mode is set (capped
+      at n_fft <= 4096 — dense is O(N^2)).  Direct rfft_ct/irfft_ct
+      callers (the FFT-conv filter path) keep the pack form under it.
+
+    The trade is era-dependent, exactly like the CT base width, and was
+    re-adjudicated on-chip at base 512 / HIGH (scripts/rfftmode_ab.py,
+    interleaved, fused headline program): pack 75.5, direct 85.0,
+    **dense 58.4 ms/batch marginal (-22.6%)** — the fused sweep is
+    transform-PASS bound, and at HIGH precision the MXU eats the extra
+    dense FLOPs for free.  Accuracy gate (scripts/rfftmode_acc.py, f64
+    oracle): dense is slightly MORE accurate than pack (lsd 4.77e-5 vs
+    5.65e-5 — fewer sequential rounding stages).  Dense is the r5
+    default; re-run both scripts whenever base/precision move."""
+    v = os.environ.get("SSR_EVAL_TPU_RFFT_MODE", "").strip().lower()
+    return v if v in ("pack", "direct", "dense") else "dense"
+
+
+_RFFT_MODE = _default_rfft_mode()
 
 
 def ct_levels(n_fft: int, base: int | None = None):
@@ -242,7 +283,10 @@ def rfft_ct(x: jnp.ndarray, n_fft: int, base: int | None = None):
     bound).  Falls back to the full transform when n_fft/2 does not
     factor as 2^L * base."""
     half = n_fft // 2
-    if n_fft % 2 or ct_levels(half, base) is None:
+    # "dense" routes the STFT sites around CT in spectral.py; direct CT
+    # callers (the FFT-conv filter path) keep the pack form under it —
+    # only the explicit "direct" experiment flips them.
+    if n_fft % 2 or ct_levels(half, base) is None or _RFFT_MODE == "direct":
         re, im = fft_ct(x, None, n_fft, base)
         nb = n_fft // 2 + 1
         return re[..., :nb], im[..., :nb]
@@ -277,7 +321,7 @@ def irfft_ct(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, base: int | None 
     ifft(Z) = conj(fft(conj(Z)))/M), interleave.  Fallback: the
     hermitian extension + full-length transform."""
     half = n_fft // 2
-    if n_fft % 2 or ct_levels(half, base) is None:
+    if n_fft % 2 or ct_levels(half, base) is None or _RFFT_MODE == "direct":
         ext_re = jnp.concatenate([real, real[..., -2:0:-1]], axis=-1)
         ext_im = jnp.concatenate([-imag, imag[..., -2:0:-1]], axis=-1)
         yr, _ = fft_ct(ext_re, ext_im, n_fft, base)

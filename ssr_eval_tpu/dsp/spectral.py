@@ -11,10 +11,13 @@ implementation, designed for XLA:
   is a vectorized index computation (no data-dependent control flow), so a
   single compiled kernel serves every utterance length in a bucket —
   replacing the reference's per-file Python loop.
-- **MXU-friendly transform**: for non-power-of-2 FFT sizes (the reference's
-  metric STFT uses n_fft=2229 at 48 kHz, metrics.py:19) the DFT is a dense
-  f32 matmul against precomputed DFT matrices — systolic-array work instead
-  of a slow generic FFT.  Power-of-2 sizes use ``jnp.fft.rfft``.
+- **MXU-friendly transform**: the DFT is a dense f32 matmul against
+  precomputed rDFT matrices — systolic-array work instead of a slow generic
+  FFT — for non-power-of-2 sizes (the reference's metric STFT uses
+  n_fft=2229 at 48 kHz, metrics.py:19) AND, since r5, for power-of-2 STFT
+  sizes too (benched −22.6% vs the Cooley-Tukey factorization on the fused
+  sweep; `_dense_pow2`).  CT (fft_matmul.py) remains the option and the
+  path for direct callers.
 - **Batch-first**: everything vmaps over the utterance axis; the harness
   shards that axis over the device mesh.
 
@@ -26,12 +29,30 @@ shifted adds rather than a scatter.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def _default_wss_mode() -> str:
+    """iSTFT window-sum-square masking form: "slice" subtracts a
+    per-utterance full-length dynamic_slice of the shifted constant
+    (r4 closed form); "patch" divides by the broadcast constant W and
+    exactly recomputes the one static-size window where the shifted term
+    is nonzero AND the output is kept — the vmapped full-length slice
+    lowers to a sequential per-row copy loop (~4 ms/call, device trace
+    r5), the patch is ~100x smaller.  Bit-identical outputs (the guarded
+    division sees the same values either way); adjudicated on-chip by
+    scripts/wsspatch_ab.py."""
+    v = os.environ.get("SSR_EVAL_TPU_WSS", "").strip().lower()
+    return v if v in ("slice", "patch") else "slice"
+
+
+_WSS_MODE = _default_wss_mode()
 
 
 class StftConfig(NamedTuple):
@@ -91,6 +112,18 @@ def _dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
 def _use_matmul_dft(n_fft: int) -> bool:
     """Non-power-of-2 FFTs go through the MXU as dense DFT matmuls."""
     return (n_fft & (n_fft - 1)) != 0
+
+
+def _dense_pow2(n_fft: int) -> bool:
+    """Power-of-2 STFT sizes ALSO take the dense rDFT path under the
+    benched default (fft_matmul._RFFT_MODE == "dense", r5): the fused
+    sweep is transform-pass bound and dense has zero butterfly/untangle
+    passes (-22.6% marginal, scripts/rfftmode_ab.py).  Capped at 4096 —
+    dense is O(N^2), and beyond STFT sizes CT/jnp.fft win (the FFT-conv
+    filter path's ~1M-point transforms never route here)."""
+    from ssr_eval_tpu.dsp import fft_matmul as _fm
+
+    return _fm._RFFT_MODE == "dense" and n_fft <= 4096
 
 
 def _reflect_index(v, length):
@@ -177,11 +210,11 @@ def stft_real_imag(
     from ssr_eval_tpu.dsp.fft_matmul import ct_levels, rfft_ct
 
     fr = _frames(x, length, cfg, max_frames)
-    if ct_levels(cfg.n_fft) is not None:
-        # power-of-2: Cooley-Tukey as MXU matmuls + butterflies (~8x fewer
-        # FLOPs than the dense rDFT, all of them MXU-shaped).
+    if ct_levels(cfg.n_fft) is not None and not _dense_pow2(cfg.n_fft):
+        # power-of-2 CT: MXU base matmuls + butterflies (~8x fewer FLOPs
+        # than the dense rDFT; mode option, see _dense_pow2).
         real, imag = rfft_ct(fr, cfg.n_fft)
-    elif _use_matmul_dft(cfg.n_fft):
+    elif _use_matmul_dft(cfg.n_fft) or _dense_pow2(cfg.n_fft):
         from ssr_eval_tpu.dsp.precision import dsp_precision
 
         wr, wi = _dft_matrices(cfg.n_fft)
@@ -313,9 +346,9 @@ def istft(
     from ssr_eval_tpu.dsp.fft_matmul import ct_levels, irfft_ct
 
     max_frames = real.shape[0]
-    if ct_levels(cfg.n_fft) is not None:
+    if ct_levels(cfg.n_fft) is not None and not _dense_pow2(cfg.n_fft):
         fr = irfft_ct(real, imag, cfg.n_fft)
-    elif _use_matmul_dft(cfg.n_fft):
+    elif _use_matmul_dft(cfg.n_fft) or _dense_pow2(cfg.n_fft):
         wr, wi = _dft_matrices(cfg.n_fft)
         # Inverse rDFT via hermitian symmetry. Forward used ang = -2*pi*n*k/N,
         # so wr = cos(theta), wi = -sin(theta); x[n] = (1/N) * sum_k s_k *
@@ -346,10 +379,42 @@ def istft(
     total = int(ola.shape[0])
     Wnp = _wss_semi_infinite(cfg.n_fft, cfg.hop, cfg.win, total)
     W = jnp.asarray(Wnp)
-    Wpad = jnp.asarray(np.concatenate([np.zeros(total, np.float32), Wnp]))
-    shift = total - nf * cfg.hop
-    wss = W - jax.lax.dynamic_slice(Wpad, (shift,), (total,))
-    ola = jnp.where(wss > 1e-10, ola / jnp.where(wss > 1e-10, wss, 1.0), ola)
+    if _WSS_MODE == "slice":
+        Wpad = jnp.asarray(np.concatenate([np.zeros(total, np.float32), Wnp]))
+        shift = total - nf * cfg.hop
+        wss = W - jax.lax.dynamic_slice(Wpad, (shift,), (total,))
+        ola = jnp.where(wss > 1e-10, ola / jnp.where(wss > 1e-10, wss, 1.0), ola)
+    else:
+        # "patch": the subtracted term W[j - nf*hop] is zero for
+        # j < nf*hop, and every output sample the caller keeps satisfies
+        # pad + length - 1 < nf*hop + n_fft (nf > (length + 2*pad -
+        # n_fft)/hop), so the full-buffer wss differs from the constant W
+        # only on the static-size window [nf*hop, nf*hop + n_fft).
+        # Divide by broadcast-constant W everywhere (fuses into the OLA
+        # pass), then recompute that one window exactly — turning the
+        # vmapped per-utterance [total] dynamic_slice (a sequential
+        # 16-trip full-length copy loop on TPU, ~4 ms/call in the r5
+        # device trace) into a patch 100x smaller.
+        win_len = min(cfg.n_fft + cfg.hop, total)
+        off = jnp.minimum(nf * cfg.hop, total - win_len)
+        ola0 = jnp.where(W > 1e-10, ola / jnp.where(W > 1e-10, W, 1.0), ola)
+        # Window values W[off + u], u in [0, win_len); zero-pad beyond total.
+        Wext = jnp.asarray(np.concatenate([Wnp, np.zeros(win_len, np.float32)]))
+        W_win = jax.lax.dynamic_slice(Wext, (off,), (win_len,))
+        # Subtracted term at j = off + u is W[j - nf*hop] = Wnp[u - delta]
+        # (zero for u < delta), delta := nf*hop - off.  delta == 0 except
+        # when off clamps at total - win_len, where delta <= 2*hop (nf <=
+        # max_frames); a 2*hop zero apron makes the shifted slice exact.
+        apron = 2 * cfg.hop
+        Zext = jnp.asarray(
+            np.concatenate([np.zeros(apron, np.float32), Wnp[:win_len]])
+        )
+        delta = nf * cfg.hop - off
+        sub = jax.lax.dynamic_slice(Zext, (apron - delta,), (win_len,))
+        wss_win = W_win - sub
+        ola_win = jax.lax.dynamic_slice(ola, (off,), (win_len,))
+        patch = jnp.where(wss_win > 1e-10, ola_win / jnp.where(wss_win > 1e-10, wss_win, 1.0), ola_win)
+        ola = jax.lax.dynamic_update_slice(ola0, patch, (off,))
     y = ola[cfg.pad : cfg.pad + out_len]
     if y.shape[0] < out_len:
         y = jnp.pad(y, (0, out_len - y.shape[0]))

@@ -260,3 +260,111 @@ def test_dsp_precision_env_plumbing(monkeypatch):
     for r, i in ((re_h, im_h), (re, im)):
         assert np.max(np.abs(r - ref.real)) / scale < 1e-6
         assert np.max(np.abs(i - ref.imag)) / scale < 1e-6
+
+
+def test_rfft_mode_env_plumbing_and_cap(monkeypatch):
+    """SSR_EVAL_TPU_RFFT_MODE selects the real-FFT factorization for the
+    STFT sites (fft_matmul._default_rfft_mode; benched default "dense",
+    scripts/rfftmode_ab.py: pack 75.5 / direct 85.0 / dense 58.4
+    ms/batch marginal on-chip).  The dense routing is capped at
+    n_fft <= 4096 so the FFT-conv filter path's ~1M-point transforms
+    can never land on an O(N^2) matmul."""
+    from ssr_eval_tpu.dsp import fft_matmul as fm
+    from ssr_eval_tpu.dsp import spectral as sp
+
+    monkeypatch.delenv("SSR_EVAL_TPU_RFFT_MODE", raising=False)
+    assert fm._default_rfft_mode() == "dense"
+    monkeypatch.setenv("SSR_EVAL_TPU_RFFT_MODE", "pack")
+    assert fm._default_rfft_mode() == "pack"
+    monkeypatch.setenv("SSR_EVAL_TPU_RFFT_MODE", "DIRECT")
+    assert fm._default_rfft_mode() == "direct"
+    monkeypatch.setenv("SSR_EVAL_TPU_RFFT_MODE", "bogus")
+    assert fm._default_rfft_mode() == "dense"
+
+    monkeypatch.setattr(fm, "_RFFT_MODE", "dense")
+    assert sp._dense_pow2(2048)
+    assert not sp._dense_pow2(1 << 20)
+    monkeypatch.setattr(fm, "_RFFT_MODE", "pack")
+    assert not sp._dense_pow2(2048)
+
+
+def test_rfft_mode_equivalence(monkeypatch):
+    """All three factorizations (pack / direct CT / dense rDFT) are perf
+    knobs, never semantics knobs: stft + istft outputs must agree to f32
+    tolerance across modes, and rfft_ct's internal pack/direct switch
+    must match numpy either way."""
+    from ssr_eval_tpu.dsp import fft_matmul as fm
+    from ssr_eval_tpu.dsp import spectral as sp
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 2048)).astype(np.float32)
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    scale = np.abs(ref).max()
+    for mode in ("pack", "direct"):
+        monkeypatch.setattr(fm, "_RFFT_MODE", mode)
+        re, im = fm.rfft_ct(jnp.asarray(x), 2048)
+        assert np.max(np.abs(np.asarray(re) - ref.real)) / scale < 1e-6, mode
+        assert np.max(np.abs(np.asarray(im) - ref.imag)) / scale < 1e-6, mode
+        y = fm.irfft_ct(jnp.asarray(ref.real.astype(np.float32)),
+                        jnp.asarray(ref.imag.astype(np.float32)), 2048)
+        assert np.max(np.abs(np.asarray(y) - x)) < 2e-6, mode
+
+    cfg = StftConfig(n_fft=2048, hop=441)
+    L = 30000
+    sig = np.zeros(32768, np.float32)
+    sig[:L] = rng.standard_normal(L).astype(np.float32)
+    mf = cfg.max_frames(sig.shape[0])
+    outs = {}
+    for mode in ("pack", "direct", "dense"):
+        monkeypatch.setattr(fm, "_RFFT_MODE", mode)
+        re, im = sp.stft_real_imag(jnp.asarray(sig), L, cfg, mf)
+        nf = int(sp.n_frames_for_length(cfg, L))
+        m = (np.arange(mf) < nf)[:, None].astype(np.float32)
+        rez = jnp.asarray(np.asarray(re) * m)
+        imz = jnp.asarray(np.asarray(im) * m)
+        y = sp.istft(rez, imz, L, cfg, sig.shape[0])
+        outs[mode] = (np.asarray(re), np.asarray(y))
+    sc = np.abs(outs["pack"][0]).max()
+    for mode in ("direct", "dense"):
+        assert np.max(np.abs(outs[mode][0] - outs["pack"][0])) / sc < 1e-5, mode
+        assert np.max(np.abs(outs[mode][1] - outs["pack"][1])) < 1e-4, mode
+        assert np.max(np.abs(outs[mode][1][:L] - sig[:L])) < 1e-4, mode
+
+
+@pytest.mark.parametrize("cfg", CFGS)
+@pytest.mark.parametrize("L", [100, 5000, 12000])
+def test_wss_patch_bit_exact(cfg, L, monkeypatch):
+    """The "patch" wss form (divide by the broadcast constant W, exactly
+    recompute the single window where the shifted term is nonzero and
+    the output is kept) is BIT-identical to the full-length "slice"
+    form for every utterance length, including bucket-edge cases — the
+    guarded division sees the same values either way
+    (spectral._default_wss_mode)."""
+    from ssr_eval_tpu.dsp import spectral as sp
+
+    rng = np.random.default_rng(11)
+    Lmax = 12000
+    x = np.zeros(Lmax, np.float32)
+    x[:L] = rng.standard_normal(L).astype(np.float32)
+    mf = cfg.max_frames(Lmax)
+    re, im = sp.stft_real_imag(jnp.asarray(x), L, cfg, mf)
+    nf = int(sp.n_frames_for_length(cfg, L))
+    m = (np.arange(mf) < nf)[:, None].astype(np.float32)
+    re = jnp.asarray(np.asarray(re) * m)
+    im = jnp.asarray(np.asarray(im) * m)
+    monkeypatch.setattr(sp, "_WSS_MODE", "slice")
+    y_slice = np.asarray(sp.istft(re, im, L, cfg, Lmax))
+    monkeypatch.setattr(sp, "_WSS_MODE", "patch")
+    y_patch = np.asarray(sp.istft(re, im, L, cfg, Lmax))
+    np.testing.assert_array_equal(y_slice, y_patch)
+
+
+def test_wss_mode_env_plumbing(monkeypatch):
+    from ssr_eval_tpu.dsp import spectral as sp
+
+    monkeypatch.delenv("SSR_EVAL_TPU_WSS", raising=False)
+    assert sp._default_wss_mode() == "slice"
+    monkeypatch.setenv("SSR_EVAL_TPU_WSS", "patch")
+    assert sp._default_wss_mode() == "patch"
+    monkeypatch.setenv("SSR_EVAL_TPU_WSS", "bogus")
+    assert sp._default_wss_mode() == "slice"
