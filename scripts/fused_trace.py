@@ -70,7 +70,11 @@ def _short(name: str, limit: int = 160) -> str:
 
 
 def _bucket(name: str) -> str:
-    n = name.lower()
+    # Leaf metadata names are full HLO text ("%fusion.132 = f32[...]
+    # fusion(...)"): normalize to the bare op name so the startswith
+    # checks actually fire (r5 fix — '%'-prefixed fusions/reverses were
+    # silently landing in "rest").
+    n = name.lower().lstrip("%").split(" = ")[0]
     if "reduce-window" in n or "reduce_window" in n:
         return "reduce_window"
     if n.startswith("copy") or "copy-done" in n or n.startswith("reshape") or (

@@ -46,8 +46,15 @@ def _default_wss_mode() -> str:
     is nonzero AND the output is kept — the vmapped full-length slice
     lowers to a sequential per-row copy loop (~4 ms/call, device trace
     r5), the patch is ~100x smaller.  Bit-identical outputs (the guarded
-    division sees the same values either way); adjudicated on-chip by
-    scripts/wsspatch_ab.py."""
+    division sees the same values either way; tests pin it).
+
+    Adjudicated on-chip (scripts/wsspatch_ab.py, interleaved, under the
+    dense-rDFT default): patch 57.2 vs slice 58.6 ms/batch marginal —
+    a stable but small −2.5%, BELOW the repo's 5% default-flip bar
+    (fold_bn precedent), and the raw cross-mode metric delta on-chip is
+    1.2e-3 (XLA fuses the two division structures differently; never
+    oracle-gated).  Default stays "slice"; the patch form is kept as a
+    measured option."""
     v = os.environ.get("SSR_EVAL_TPU_WSS", "").strip().lower()
     return v if v in ("slice", "patch") else "slice"
 
