@@ -26,9 +26,10 @@ next-round #1/#5/#6):
 - nvsr: flagship-model line (random weights) — utt/s/chip + per-cutoff
   mean LSD through the fused engine.
 - iir_subsampling_matrix: mixed-family sweep throughput (default-on).
-- pallas_ab: |STFT| timing, ms per 8x266k batch — XLA Cooley-Tukey
-  path (default) vs the selectable Pallas VMEM-butterfly CT kernel
-  (the dense-DFT Pallas variant was retired in r4, VERDICT r3 #6).
+- pallas_ab: |STFT| timing, ms per 8x266k batch — default XLA path
+  (dense rDFT since the r5 rfft-mode flip) vs the selectable Pallas
+  VMEM-butterfly CT kernel (the dense-DFT Pallas variant was retired
+  in r4, VERDICT r3 #6).
 - v5e8_extrapolated: vs_baseline x 8. Utterance-sweep evaluation is
   embarrassingly parallel over the 'data' mesh axis (no cross-chip
   collectives in the compiled program); the 8-way sharded path is
@@ -171,7 +172,8 @@ def _timed_passes(engine, paths, passes=PASSES):
 
 
 def _pallas_ab():
-    """ms per 8x266k-batch |STFT|: Pallas CT kernel vs XLA CT path."""
+    """ms per 8x266k-batch |STFT|: Pallas CT kernel vs the default XLA
+    path (dense rDFT since r5; spectral._dense_pow2)."""
     import jax
     import jax.numpy as jnp
 
@@ -200,7 +202,7 @@ def _pallas_ab():
 
     out = {}
     for name, flag in (
-        ("xla_ct", "0"),
+        ("xla_default", "0"),
         ("pallas_ct", "ct"),
     ):
         os.environ["SSR_EVAL_TPU_PALLAS"] = flag

@@ -62,15 +62,27 @@ def _default_base() -> int:
       512->185, 1024->155 ms/call — 256 won.
     - Precision.HIGH default (r5, 3 passes): 128->81.8, 256->79.1,
       512->**75.6**, 1024->84.3 ms/batch marginal — halved matmul cost
-      buys one more saved butterfly pass; 512 wins (-4.5%), accuracy
+      buys one more saved butterfly pass; 512 won (-4.5%), accuracy
       gate equal to 256 vs the f64 oracle (scripts/ctbase_acc.py:
       lsd 5.6e-5 vs 5.5e-5, ssim 2.1e-6 vs 2.3e-6).
+    - Dense-rDFT era (r5 late): the rfft-mode flip routed the STFT
+      sites around CT entirely, so the base's remaining hot user is
+      the IIR filter path's 2/4k-point overlap-save block FFTs — a
+      much smaller transform where butterfly passes are few and the
+      base matmul's O(base) FLOPs dominate.  Re-adjudicated THERE
+      (scripts/ctbase_iir_ab.py, butter+cheby1 order-8 sweep,
+      interleaved, stable over 4 reps): 128->**132.2**, 256->140.5,
+      512->146.7, 1024->178.0 ms/sweep-pass — **128 is the default**;
+      waveform accuracy gate vs f64 scipy sosfiltfilt equal at the f32
+      floor (6.8e-5 vs 6.1e-5 rel, scripts/ctbase_iir_acc.py).  If
+      SSR_EVAL_TPU_RFFT_MODE is flipped back to pack/direct, 512 was
+      the STFT-site optimum — re-run ctbase_ab under that mode.
     SSR_EVAL_TPU_CT_BASE overrides for A/B."""
     try:
-        b = int(os.environ.get("SSR_EVAL_TPU_CT_BASE", "512") or "512")
+        b = int(os.environ.get("SSR_EVAL_TPU_CT_BASE", "128") or "128")
     except ValueError:
-        b = 512
-    return b if b in (128, 256, 512, 1024) else 512
+        b = 128
+    return b if b in (128, 256, 512, 1024) else 128
 
 
 _BASE = _default_base()
@@ -103,10 +115,19 @@ def _default_rfft_mode() -> str:
     transform-PASS bound, and at HIGH precision the MXU eats the extra
     dense FLOPs for free.  Accuracy gate (scripts/rfftmode_acc.py, f64
     oracle): dense is slightly MORE accurate than pack (lsd 4.77e-5 vs
-    5.65e-5 — fewer sequential rounding stages).  Dense is the r5
-    default; re-run both scripts whenever base/precision move."""
+    5.65e-5 — fewer sequential rounding stages).
+
+    The default is "auto": dense on TPU, pack on CPU.  Dense is NOT the
+    CPU default because dnnl GEMM results depend on the M (row-count)
+    shape — the same frame rows transform to values differing at ~3e-6
+    when the bucket/batch changes GEMM M, which breaks batch-composition
+    invariance at the masked-stopband floor (0.1-0.5 LSD swings; caught
+    by tests/test_fuzz.py::test_batch_composition_invariance).  The TPU
+    MXU's K-accumulation is M-independent — measured invariant on-chip
+    (delta <= 5e-7 on the same fuzz setup).  Re-run the A/B scripts
+    whenever base/precision move."""
     v = os.environ.get("SSR_EVAL_TPU_RFFT_MODE", "").strip().lower()
-    return v if v in ("pack", "direct", "dense") else "dense"
+    return v if v in ("pack", "direct", "dense", "auto") else "auto"
 
 
 _RFFT_MODE = _default_rfft_mode()

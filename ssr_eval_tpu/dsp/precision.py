@@ -29,10 +29,12 @@ Read at TRACE time: engines jit per-instance, so an A/B can build one
 engine per env setting in a single process.
 
 Coupling: the CT MXU base width's optimum depends on this policy (the
-pass count re-prices base-matmul FLOPs vs butterfly HBM passes) —
-re-run scripts/ctbase_ab.py whenever the default here moves
-(fft_matmul._default_base records both eras: 256 at HIGHEST, 512 at
-HIGH).
+pass count re-prices base-matmul FLOPs vs butterfly HBM passes) AND on
+the rfft mode (which decides WHICH programs CT serves) — re-run
+scripts/ctbase_ab.py / ctbase_iir_ab.py whenever the default here
+moves (fft_matmul._default_base records all three eras: 256 at
+HIGHEST, 512 at HIGH on the STFT sites, 128 at HIGH on the IIR filter
+blocks once dense-rDFT took the STFT sites).
 """
 
 from __future__ import annotations

@@ -14,10 +14,11 @@ implementation, designed for XLA:
 - **MXU-friendly transform**: the DFT is a dense f32 matmul against
   precomputed rDFT matrices — systolic-array work instead of a slow generic
   FFT — for non-power-of-2 sizes (the reference's metric STFT uses
-  n_fft=2229 at 48 kHz, metrics.py:19) AND, since r5, for power-of-2 STFT
-  sizes too (benched −22.6% vs the Cooley-Tukey factorization on the fused
-  sweep; `_dense_pow2`).  CT (fft_matmul.py) remains the option and the
-  path for direct callers.
+  n_fft=2229 at 48 kHz, metrics.py:19) AND, since r5 on TPU, for power-of-2
+  STFT sizes too (benched −22.6% vs the Cooley-Tukey factorization on the
+  fused sweep; `_dense_pow2` — CPU stays on pack-CT for batch-composition
+  invariance, see fft_matmul._default_rfft_mode).  CT (fft_matmul.py)
+  remains the option and the path for direct callers.
 - **Batch-first**: everything vmaps over the utterance axis; the harness
   shards that axis over the device mesh.
 
@@ -123,14 +124,26 @@ def _use_matmul_dft(n_fft: int) -> bool:
 
 def _dense_pow2(n_fft: int) -> bool:
     """Power-of-2 STFT sizes ALSO take the dense rDFT path under the
-    benched default (fft_matmul._RFFT_MODE == "dense", r5): the fused
-    sweep is transform-pass bound and dense has zero butterfly/untangle
-    passes (-22.6% marginal, scripts/rfftmode_ab.py).  Capped at 4096 —
-    dense is O(N^2), and beyond STFT sizes CT/jnp.fft win (the FFT-conv
-    filter path's ~1M-point transforms never route here)."""
+    benched TPU default (r5): the fused sweep is transform-pass bound
+    and dense has zero butterfly/untangle passes (-22.6% marginal,
+    scripts/rfftmode_ab.py).  Capped at 4096 — dense is O(N^2), and
+    beyond STFT sizes CT/jnp.fft win (the FFT-conv filter path's
+    ~1M-point transforms never route here).
+
+    Mode "auto" (the default) resolves per backend at trace time: dense
+    on TPU, pack on CPU — CPU dnnl GEMMs are M-shape-dependent and break
+    batch-composition invariance at the stopband floor (see
+    fft_matmul._default_rfft_mode); explicit "dense" forces it anywhere."""
     from ssr_eval_tpu.dsp import fft_matmul as _fm
 
-    return _fm._RFFT_MODE == "dense" and n_fft <= 4096
+    if n_fft > 4096:
+        return False
+    mode = _fm._RFFT_MODE
+    if mode == "auto":
+        import jax
+
+        mode = "pack" if jax.default_backend() == "cpu" else "dense"
+    return mode == "dense"
 
 
 def _reflect_index(v, length):

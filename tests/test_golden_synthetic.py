@@ -62,33 +62,37 @@ def test_golden_per_speaker(smoke):
 #
 # Re-pinned after the rfft/irfft pack trick (r4), after the CT
 # base-width default moved 128 -> 256 (r4, fft_matmul._default_base),
-# and after it moved 256 -> 512 under the HIGH precision default (r5):
-# each FFT refactor changes the f32 rounding floor in the IIR stop band,
+# after it moved 256 -> 512 under the HIGH precision default (r5), and
+# after the base moved back to 128 when the dense-rDFT flip left the
+# IIR filter blocks as CT's only hot user (r5 late; these CPU pins ride
+# the "auto" mode's pack path — dense is TPU-only because CPU dnnl
+# GEMMs are M-shape-dependent, see fft_matmul._default_rfft_mode): each
+# FFT refactor changes the f32 rounding floor in the IIR stop band,
 # moving ONLY the log-domain metrics (lsd/log_sispec, floor-dominated
-# there — PARITY.md deviation 4) by ~0.1 while sispec/ssim stay equal to
-# 6 digits and the filtered waveform stays within 7.6e-7 of scipy's
-# float64 sosfiltfilt oracle (tests/test_filters.py; the full
-# degrade/filters/fuzz oracle suite passed unchanged at both pins).
+# there — PARITY.md deviation 4) while sispec/ssim stay equal to ~5
+# digits and the filtered waveform stays oracle-exact vs scipy's
+# float64 sosfiltfilt (tests/test_filters.py; the full
+# degrade/filters/fuzz oracle suite passed unchanged at every pin).
 GOLDEN_FAMILIES = {
     "proc_bw_16000_8_44100": {
-        "lsd": 5.958977, "log_sispec": 6.332137,
-        "sispec": 42.657026, "ssim": 0.619014,
+        "lsd": 6.239049, "log_sispec": 6.125923,
+        "sispec": 42.656927, "ssim": 0.619003,
     },
     "proc_ch_16000_8_44100": {
-        "lsd": 6.200547, "log_sispec": 6.459818,
-        "sispec": 40.906655, "ssim": 0.620336,
+        "lsd": 6.542235, "log_sispec": 6.266384,
+        "sispec": 40.906565, "ssim": 0.620322,
     },
     "proc_el_16000_8_44100": {
-        "lsd": 6.431774, "log_sispec": 6.785354,
-        "sispec": 41.202361, "ssim": 0.614589,
+        "lsd": 6.810665, "log_sispec": 6.611895,
+        "sispec": 41.202256, "ssim": 0.614572,
     },
     "proc_bessel_16000_8_44100": {
-        "lsd": 6.107235, "log_sispec": 7.537342,
-        "sispec": 26.253577, "ssim": 0.531503,
+        "lsd": 6.390809, "log_sispec": 7.295904,
+        "sispec": 26.253575, "ssim": 0.531492,
     },
     "proc_subsampling_16000_44100": {
-        "lsd": 3.389026, "log_sispec": 8.357384,
-        "sispec": 42.388618, "ssim": 0.624253,
+        "lsd": 3.389415, "log_sispec": 8.356409,
+        "sispec": 42.388617, "ssim": 0.624253,
     },
 }
 

@@ -264,27 +264,38 @@ def test_dsp_precision_env_plumbing(monkeypatch):
 
 def test_rfft_mode_env_plumbing_and_cap(monkeypatch):
     """SSR_EVAL_TPU_RFFT_MODE selects the real-FFT factorization for the
-    STFT sites (fft_matmul._default_rfft_mode; benched default "dense",
-    scripts/rfftmode_ab.py: pack 75.5 / direct 85.0 / dense 58.4
-    ms/batch marginal on-chip).  The dense routing is capped at
-    n_fft <= 4096 so the FFT-conv filter path's ~1M-point transforms
-    can never land on an O(N^2) matmul."""
+    STFT sites (fft_matmul._default_rfft_mode; benched TPU default
+    "dense" via "auto", scripts/rfftmode_ab.py: pack 75.5 / direct 85.0
+    / dense 58.4 ms/batch marginal on-chip).  "auto" resolves per
+    backend at trace time — dense on TPU, pack on CPU (CPU dnnl GEMMs
+    are M-shape-dependent: batch-composition invariance would break at
+    the stopband floor, tests/test_fuzz.py).  The dense routing is
+    capped at n_fft <= 4096 so the FFT-conv filter path's ~1M-point
+    transforms can never land on an O(N^2) matmul."""
+    import jax
+
     from ssr_eval_tpu.dsp import fft_matmul as fm
     from ssr_eval_tpu.dsp import spectral as sp
 
     monkeypatch.delenv("SSR_EVAL_TPU_RFFT_MODE", raising=False)
-    assert fm._default_rfft_mode() == "dense"
+    assert fm._default_rfft_mode() == "auto"
     monkeypatch.setenv("SSR_EVAL_TPU_RFFT_MODE", "pack")
     assert fm._default_rfft_mode() == "pack"
     monkeypatch.setenv("SSR_EVAL_TPU_RFFT_MODE", "DIRECT")
     assert fm._default_rfft_mode() == "direct"
-    monkeypatch.setenv("SSR_EVAL_TPU_RFFT_MODE", "bogus")
+    monkeypatch.setenv("SSR_EVAL_TPU_RFFT_MODE", "dense")
     assert fm._default_rfft_mode() == "dense"
+    monkeypatch.setenv("SSR_EVAL_TPU_RFFT_MODE", "bogus")
+    assert fm._default_rfft_mode() == "auto"
 
     monkeypatch.setattr(fm, "_RFFT_MODE", "dense")
     assert sp._dense_pow2(2048)
     assert not sp._dense_pow2(1 << 20)
     monkeypatch.setattr(fm, "_RFFT_MODE", "pack")
+    assert not sp._dense_pow2(2048)
+    # "auto" on the CPU test backend resolves to pack (invariance).
+    monkeypatch.setattr(fm, "_RFFT_MODE", "auto")
+    assert jax.default_backend() == "cpu"
     assert not sp._dense_pow2(2048)
 
 
