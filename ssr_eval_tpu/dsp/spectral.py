@@ -63,6 +63,27 @@ def _default_wss_mode() -> str:
 _WSS_MODE = _default_wss_mode()
 
 
+def _default_dense_fold() -> bool:
+    """Fold the Hann window (forward) and window+hermitian-scale+1/N
+    (inverse) into the dense rDFT constant matrices, removing the
+    separate elementwise passes over the [frames, n_fft] slabs from the
+    transform-pass-bound fused program.  Exact fold: the products are
+    formed in float64 at matrix build time and cast once to f32 (the
+    unfolded path rounds the window to f32 first, so the folded values
+    are if anything closer to the f64 reference).
+
+    Default pending the on-chip adjudication (scripts/densefold_ab.py,
+    interleaved, same protocol as the rfft-mode A/B);
+    SSR_EVAL_TPU_DENSE_FOLD selects explicitly."""
+    return os.environ.get("SSR_EVAL_TPU_DENSE_FOLD", "0").strip().lower() not in (
+        "0",
+        "false",
+    )
+
+
+_DENSE_FOLD = _default_dense_fold()
+
+
 class StftConfig(NamedTuple):
     """Hashable STFT configuration (static jit argument).
 
@@ -115,6 +136,58 @@ def _dft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
     ang = -2.0 * np.pi * n * k / n_fft
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _padded_window64(n_fft: int, win_length: int) -> np.ndarray:
+    """Analysis/synthesis window center-padded to n_fft, float64
+    (librosa util.pad_center semantics, reference dsp.py:21-39)."""
+    win = hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        win = np.pad(win, (lpad, n_fft - win_length - lpad))
+    return win
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_matrices_windowed(n_fft: int, win_length: int) -> tuple[np.ndarray, np.ndarray]:
+    """Forward rDFT matrices with the analysis window folded into the
+    rows: (frames * win) @ W == frames @ (diag(win) @ W).  Built in
+    float64, cast once to f32 — saves the per-call elementwise window
+    pass over the [frames, n_fft] slab (see _default_dense_fold)."""
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * n * k / n_fft
+    win = _padded_window64(n_fft, win_length)[:, None]
+    return (win * np.cos(ang)).astype(np.float32), (win * np.sin(ang)).astype(
+        np.float32
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _idft_matrices_windowed(n_fft: int, win_length: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse rDFT matrices [n_bins, n_fft] with the hermitian scale,
+    1/N normalization AND the synthesis window all folded in:
+
+        frames = real @ A_r + imag @ A_i
+               == (irDFT(real, imag)) * win          (exactly, in f64)
+
+    replacing two matmuls + three elementwise passes (scale, 1/N, win)
+    with two matmuls.  A_r[k, n] = s_k * cos(-2*pi*n*k/N) * win[n] / N,
+    A_i likewise with sin (forward used ang = -theta, so wi = -sin(theta)
+    and x[n] = sum_k s_k (Re cos - Im sin) matches istft's unfolded
+    expression term for term)."""
+    n = np.arange(n_fft, dtype=np.float64)[None, :]
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[:, None]
+    ang = -2.0 * np.pi * n * k / n_fft
+    scale = np.full((n_fft // 2 + 1, 1), 2.0)
+    scale[0, 0] = 1.0
+    if n_fft % 2 == 0:
+        scale[-1, 0] = 1.0
+    win = _padded_window64(n_fft, win_length)[None, :]
+    a_r = scale * np.cos(ang) * win / n_fft
+    a_i = scale * np.sin(ang) * win / n_fft
+    return a_r.astype(np.float32), a_i.astype(np.float32)
 
 
 def _use_matmul_dft(n_fft: int) -> bool:
@@ -200,22 +273,24 @@ def frame_slabs(ext: jnp.ndarray, hop: int, n_fft: int, max_frames: int) -> jnp.
     return jnp.concatenate(cols, axis=1)[:, :n_fft]
 
 
-def _frames(x: jnp.ndarray, length, cfg: StftConfig, max_frames: int) -> jnp.ndarray:
+def _frames(
+    x: jnp.ndarray, length, cfg: StftConfig, max_frames: int, window: bool = True
+) -> jnp.ndarray:
     """Windowed frames [max_frames, n_fft] of one signal.
 
     Framing slices the (dynamically) reflect-extended buffer, so a single
-    compiled kernel is shared by every utterance length.
+    compiled kernel is shared by every utterance length.  ``window=False``
+    returns raw frames for the dense-fold path, which carries the window
+    inside the DFT matrices instead (_dft_matrices_windowed).
     """
     if cfg.center:
         ext = _extend(x, length, cfg.pad)
     else:
         ext = x
     fr = frame_slabs(ext, cfg.hop, cfg.n_fft, max_frames)
-    win = hann_window(cfg.win).astype(np.float32)
-    if cfg.win < cfg.n_fft:
-        # Center-pad the window to n_fft (librosa util.pad_center semantics).
-        lpad = (cfg.n_fft - cfg.win) // 2
-        win = np.pad(win, (lpad, cfg.n_fft - cfg.win - lpad))
+    if not window:
+        return fr
+    win = _padded_window64(cfg.n_fft, cfg.win).astype(np.float32)
     return fr * jnp.asarray(win)
 
 
@@ -229,15 +304,21 @@ def stft_real_imag(
     """
     from ssr_eval_tpu.dsp.fft_matmul import ct_levels, rfft_ct
 
-    fr = _frames(x, length, cfg, max_frames)
-    if ct_levels(cfg.n_fft) is not None and not _dense_pow2(cfg.n_fft):
+    use_ct = ct_levels(cfg.n_fft) is not None and not _dense_pow2(cfg.n_fft)
+    use_dense = not use_ct and (_use_matmul_dft(cfg.n_fft) or _dense_pow2(cfg.n_fft))
+    fold = use_dense and _DENSE_FOLD
+    fr = _frames(x, length, cfg, max_frames, window=not fold)
+    if use_ct:
         # power-of-2 CT: MXU base matmuls + butterflies (~8x fewer FLOPs
         # than the dense rDFT; mode option, see _dense_pow2).
         real, imag = rfft_ct(fr, cfg.n_fft)
-    elif _use_matmul_dft(cfg.n_fft) or _dense_pow2(cfg.n_fft):
+    elif use_dense:
         from ssr_eval_tpu.dsp.precision import dsp_precision
 
-        wr, wi = _dft_matrices(cfg.n_fft)
+        if fold:
+            wr, wi = _dft_matrices_windowed(cfg.n_fft, cfg.win)
+        else:
+            wr, wi = _dft_matrices(cfg.n_fft)
         _hi = dsp_precision()
         real = jnp.dot(fr, jnp.asarray(wr), preferred_element_type=jnp.float32, precision=_hi)
         imag = jnp.dot(fr, jnp.asarray(wi), preferred_element_type=jnp.float32, precision=_hi)
@@ -299,19 +380,44 @@ def stft_magnitude(
     return jnp.sqrt(power)
 
 
+def _default_ola_mode() -> str:
+    """OLA lowering form: "dus" (r1 form) accumulates the K hop-column
+    segments with sequential ``.at[].add`` updates — K read-modify-write
+    passes over the output buffer; "padsum" statically zero-pads each
+    segment to the full buffer and sums — one elementwise fusion reading
+    the K segments once (adding zeros is exact, so the two forms are
+    bitwise identical).  Adjudicated on-chip with the dense fold
+    (scripts/densefold_ab.py protocol); SSR_EVAL_TPU_OLA overrides."""
+    v = os.environ.get("SSR_EVAL_TPU_OLA", "").strip().lower()
+    return v if v in ("dus", "padsum") else "dus"
+
+
+_OLA_MODE = _default_ola_mode()
+
+
 def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     """OLA of [F, n_fft] frames at stride `hop` -> [hop*(F-1) + n_fft].
 
     Implemented as K = ceil(n_fft/hop) static shifted adds (no scatter):
     frames are split into K hop-sized columns; column k of all frames lands
-    contiguously at offset k*hop.
+    contiguously at offset k*hop.  Two lowering forms, see
+    _default_ola_mode.
     """
     F, n_fft = frames.shape
     K = -(-n_fft // hop)
     padded = jnp.pad(frames, ((0, 0), (0, K * hop - n_fft)))
     cols = padded.reshape(F, K, hop)
     total = hop * (F - 1) + n_fft
-    out = jnp.zeros(hop * (F - 1) + K * hop, dtype=frames.dtype)
+    full = hop * (F - 1) + K * hop
+    if _OLA_MODE == "padsum":
+        out = None
+        for k in range(K):
+            seg = jnp.pad(
+                cols[:, k, :].reshape(F * hop), (k * hop, full - k * hop - F * hop)
+            )
+            out = seg if out is None else out + seg
+        return out[:total]
+    out = jnp.zeros(full, dtype=frames.dtype)
     for k in range(K):
         seg = cols[:, k, :].reshape(F * hop)
         out = out.at[k * hop : k * hop + F * hop].add(seg)
@@ -366,9 +472,25 @@ def istft(
     from ssr_eval_tpu.dsp.fft_matmul import ct_levels, irfft_ct
 
     max_frames = real.shape[0]
-    if ct_levels(cfg.n_fft) is not None and not _dense_pow2(cfg.n_fft):
+    use_ct = ct_levels(cfg.n_fft) is not None and not _dense_pow2(cfg.n_fft)
+    use_dense = not use_ct and (_use_matmul_dft(cfg.n_fft) or _dense_pow2(cfg.n_fft))
+    fold = use_dense and _DENSE_FOLD
+    if use_ct:
         fr = irfft_ct(real, imag, cfg.n_fft)
-    elif _use_matmul_dft(cfg.n_fft) or _dense_pow2(cfg.n_fft):
+    elif fold:
+        # Hermitian scale, 1/N and the synthesis window all live inside
+        # the constant matrices (_idft_matrices_windowed) — two matmuls
+        # replace two matmuls + three elementwise slab passes.
+        from ssr_eval_tpu.dsp.precision import dsp_precision
+
+        a_r, a_i = _idft_matrices_windowed(cfg.n_fft, cfg.win)
+        _hi = dsp_precision()
+        fr = jnp.dot(
+            real, jnp.asarray(a_r), preferred_element_type=jnp.float32, precision=_hi
+        ) + jnp.dot(
+            imag, jnp.asarray(a_i), preferred_element_type=jnp.float32, precision=_hi
+        )
+    elif use_dense:
         wr, wi = _dft_matrices(cfg.n_fft)
         # Inverse rDFT via hermitian symmetry. Forward used ang = -2*pi*n*k/N,
         # so wr = cos(theta), wi = -sin(theta); x[n] = (1/N) * sum_k s_k *
@@ -386,11 +508,9 @@ def istft(
         ) / cfg.n_fft
     else:
         fr = jnp.fft.irfft(real + 1j * imag, n=cfg.n_fft, axis=-1)
-    win = hann_window(cfg.win)
-    if cfg.win < cfg.n_fft:
-        lpad = (cfg.n_fft - cfg.win) // 2
-        win = np.pad(win, (lpad, cfg.n_fft - cfg.win - lpad))
-    fr = fr * jnp.asarray(win.astype(np.float32))
+    if not fold:
+        win = _padded_window64(cfg.n_fft, cfg.win)
+        fr = fr * jnp.asarray(win.astype(np.float32))
     ola = _overlap_add(fr, cfg.hop)
     # Window-sum-square must count only the valid frames (< nf) or the tail
     # of a bucketed signal is normalized as if ghost frames contributed.

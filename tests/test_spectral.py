@@ -379,3 +379,87 @@ def test_wss_mode_env_plumbing(monkeypatch):
     assert sp._default_wss_mode() == "patch"
     monkeypatch.setenv("SSR_EVAL_TPU_WSS", "bogus")
     assert sp._default_wss_mode() == "slice"
+
+
+def test_dense_fold_equivalence(monkeypatch):
+    """The dense-fold form (window/scale/1/N folded into the rDFT
+    matrices, _dft_matrices_windowed/_idft_matrices_windowed) is a perf
+    knob, never a semantics knob: stft + istft must agree with the
+    separate-pass form to f32 tolerance on both the pow-2 (2048) and
+    non-pow-2 (2229, the 48 kHz metric size) dense paths, and both must
+    match the f64 oracle."""
+    from ssr_eval_tpu.dsp import fft_matmul as fm
+    from ssr_eval_tpu.dsp import spectral as sp
+
+    monkeypatch.setattr(fm, "_RFFT_MODE", "dense")  # force dense on CPU
+    rng = np.random.default_rng(11)
+    for n_fft, hop in ((2048, 441), (2229, 480)):
+        cfg = StftConfig(n_fft=n_fft, hop=hop)
+        L = 20000
+        sig = np.zeros(24000, np.float32)
+        sig[:L] = rng.standard_normal(L).astype(np.float32)
+        mf = cfg.max_frames(sig.shape[0])
+        nf = int(sp.n_frames_for_length(cfg, L))
+        outs = {}
+        for fold in (False, True):
+            monkeypatch.setattr(sp, "_DENSE_FOLD", fold)
+            re, im = sp.stft_real_imag(jnp.asarray(sig), L, cfg, mf)
+            m = (np.arange(mf) < nf)[:, None].astype(np.float32)
+            y = sp.istft(
+                jnp.asarray(np.asarray(re) * m),
+                jnp.asarray(np.asarray(im) * m),
+                L,
+                cfg,
+                sig.shape[0],
+            )
+            outs[fold] = (np.asarray(re), np.asarray(im), np.asarray(y))
+        sc = np.abs(outs[False][0]).max()
+        assert np.max(np.abs(outs[True][0] - outs[False][0])) / sc < 1e-6, n_fft
+        assert np.max(np.abs(outs[True][1] - outs[False][1])) / sc < 1e-6, n_fft
+        assert np.max(np.abs(outs[True][2] - outs[False][2])) < 1e-5, n_fft
+        # oracle: masked-frame STFT rows against f64 numpy
+        from tests.oracles import stft_np
+
+        Z = stft_np(sig[:L].astype(np.float64), n_fft, hop)
+        for fold in (False, True):
+            d = np.max(np.abs(outs[fold][0][:nf] - Z.real.T[:nf])) / sc
+            assert d < 1e-6, (n_fft, fold, d)
+            assert np.max(np.abs(outs[fold][2][:L] - sig[:L])) < 1e-4, (n_fft, fold)
+
+
+def test_dense_fold_env_plumbing(monkeypatch):
+    from ssr_eval_tpu.dsp import spectral as sp
+
+    monkeypatch.delenv("SSR_EVAL_TPU_DENSE_FOLD", raising=False)
+    default = sp._default_dense_fold()
+    monkeypatch.setenv("SSR_EVAL_TPU_DENSE_FOLD", "0")
+    assert sp._default_dense_fold() is False
+    monkeypatch.setenv("SSR_EVAL_TPU_DENSE_FOLD", "1")
+    assert sp._default_dense_fold() is True
+    monkeypatch.setenv("SSR_EVAL_TPU_DENSE_FOLD", "false")
+    assert sp._default_dense_fold() is False
+    assert default in (False, True)
+
+
+def test_ola_mode_bitwise_identical(monkeypatch):
+    """The padsum OLA lowering (one pad-and-sum fusion) is bitwise
+    identical to the dus form (sequential .at[].add passes): adding
+    structural zeros is exact in f32, and both accumulate column k in
+    ascending order.  Env plumbing included."""
+    from ssr_eval_tpu.dsp import spectral as sp
+
+    rng = np.random.default_rng(21)
+    for f, n_fft, hop in ((72, 2048, 441), (31, 743, 160), (8, 2048, 512)):
+        fr = rng.standard_normal((f, n_fft)).astype(np.float32)
+        monkeypatch.setattr(sp, "_OLA_MODE", "dus")
+        a = np.asarray(sp._overlap_add(jnp.asarray(fr), hop))
+        monkeypatch.setattr(sp, "_OLA_MODE", "padsum")
+        b = np.asarray(sp._overlap_add(jnp.asarray(fr), hop))
+        assert np.array_equal(a, b), (f, n_fft, hop)
+
+    monkeypatch.delenv("SSR_EVAL_TPU_OLA", raising=False)
+    assert sp._default_ola_mode() in ("dus", "padsum")
+    monkeypatch.setenv("SSR_EVAL_TPU_OLA", "padsum")
+    assert sp._default_ola_mode() == "padsum"
+    monkeypatch.setenv("SSR_EVAL_TPU_OLA", "bogus")
+    assert sp._default_ola_mode() == "dus"
